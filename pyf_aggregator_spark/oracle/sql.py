@@ -1,0 +1,84 @@
+"""ANSI-SQL (DuckDB-runnable) oracle generators.
+
+The driver runs these side-by-side with the Spark queries at sf0.01
+(order-insensitive value-hash). Tokenization, BM25 math, rounding and
+tie-breaks mirror functions/tokenize.py + search/engine.py exactly.
+"""
+
+from __future__ import annotations
+
+from pyf_aggregator_spark import B, K1
+from pyf_aggregator_spark.functions.tokenize import tokenize_py
+from pyf_aggregator_spark.search.engine import SCORE_DECIMALS
+
+# DuckDB regex for the shared tokenizer contract (db.py:241 analog)
+SEP_RE_SQL = r"[\s.\-_@/]+"
+
+TOKENS_CTE = f"""
+tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '{SEP_RE_SQL}')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (
+  SELECT d.doc_id, coalesce(s.doc_len, 0)::BIGINT AS doc_len
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id
+  ) s USING (doc_id)
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+corpus AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         coalesce(sum(doc_len), 0)::BIGINT AS total_len,
+         coalesce(sum(doc_len), 0)::DOUBLE / count(*) AS avgdl
+  FROM dl
+)"""
+
+
+def bm25_topk_sql(query: str, k: int = 10, mode: str = "or") -> str:
+    """Top-k BM25 over the `documents` view, identical semantics to
+    search.engine.bm25_topk (same idf, rounding, tie-break)."""
+    terms = sorted(set(tokenize_py(query)))
+    if not terms:
+        return "SELECT doc_id, 0.0::DOUBLE AS score FROM documents WHERE 1=0"
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH {TOKENS_CTE},
+hits AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / c.avgdl))
+         ) AS raw_score,
+         count(*) AS nmatch
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+  WHERE tf.term IN ({in_list})
+  GROUP BY tf.doc_id
+  {having}
+)
+SELECT doc_id, round(raw_score, {SCORE_DECIMALS}) AS score
+FROM hits
+ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def term_stats_sql() -> str:
+    return f"WITH {TOKENS_CTE} SELECT term, df, cf FROM dfreq ORDER BY term"
+
+
+def doc_stats_sql() -> str:
+    return f"WITH {TOKENS_CTE} SELECT doc_id, doc_len FROM dl ORDER BY doc_id"
+
+
+def corpus_stats_sql() -> str:
+    return (
+        f"WITH {TOKENS_CTE} "
+        "SELECT n_docs, total_len, round(avgdl, 6) AS avgdl FROM corpus"
+    )

@@ -1,0 +1,155 @@
+"""Top-k BM25 query execution as DataFrame algebra.
+
+The reference composes Typesense search params (``db.py:266-290``,
+``cli_utils.py:147-155``) and lets a closed-box engine rank. Here the
+ranking IS ours: BM25 (k1=1.2, b=0.75, Lucene-style non-negative idf)
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d,q)  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+Physical plan shape (and why it scales):
+- query terms → filter term_freq on an IN-list: pushed to the parquet /
+  index scan as a PushedFilter, so only matching postings are read;
+- join with term_stats restricted to the query terms (≤ a few rows →
+  broadcast), and with doc_stats on doc_id;
+- conjunctive (AND) mode = the posting-list intersection U4: realized as
+  the groupBy(doc_id) HAVING count(distinct term) = |q| — one shuffle,
+  map-side partial agg, no N-way join chain needed;
+- disjunctive (OR) = same aggregation without the HAVING;
+- deterministic ranking: ORDER BY round(score, 4) DESC, doc_id ASC —
+  rounding makes the rank reproducible across summation orders
+  (float addition is not associative across partitionings), the doc_id
+  tie-break makes top-k unique. ``limit k`` after orderBy is a TakeOrdered
+  physical op — per-partition top-k then a k-row merge on the driver,
+  no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyf_aggregator_spark import B, K1
+from pyf_aggregator_spark.functions.tokenize import tokenize_py
+from pyf_aggregator_spark.index.builder import CorpusIndex
+
+SCORE_DECIMALS = 4
+
+
+def _scored(index: CorpusIndex, terms: list[str]) -> DataFrame:
+    """Per-doc summed BM25 score + matched-term count for distinct terms."""
+    q = sorted(set(terms))
+    tf = index.term_freq.filter(F.col("term").isin(q))
+    ts = F.broadcast(index.term_stats.filter(F.col("term").isin(q)))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(K1)
+        * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.col("avgdl"))
+    )
+    return (
+        tf.join(ts, "term")
+        .join(index.doc_stats, "doc_id")
+        .crossJoin(F.broadcast(index.corpus))
+        .select("doc_id", "term", (idf * tf_part).alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("raw_score"),
+            F.count("*").alias("nmatch"),
+        )
+    )
+
+
+def bm25_topk(
+    index: CorpusIndex,
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+) -> DataFrame:
+    """→ DataFrame(doc_id long, score double) — top-k, rank-deterministic.
+
+    ``mode='and'`` keeps only docs matching every distinct query term
+    (posting intersection U4); ``mode='or'`` is the disjunctive union.
+    """
+    terms = tokenize_py(query)
+    if not terms:
+        # q="*" match-all has no scoring — callers use plain filter/sort.
+        empty = index.docs.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+        return empty
+    scored = _scored(index, terms)
+    if mode == "and":
+        scored = scored.filter(F.col("nmatch") == len(set(terms)))
+    return (
+        scored.select(
+            "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_batch(
+    index: CorpusIndex, queries: DataFrame, default_k: int = 10
+) -> DataFrame:
+    """Batch execution: queries(query_id, query, mode, k) → per-query top-k.
+
+    All queries run in ONE Spark job: explode query terms, join against
+    term_freq once (term is the join key → a single shuffle amortized
+    over the whole query set), window top-k per query. This is the shape
+    that gives queries/sec at cluster scale — per-query jobs would pay
+    scheduling latency per query.
+    """
+    from pyspark.sql import Window
+
+    qt = queries.select(
+        "query_id",
+        "mode",
+        F.coalesce("k", F.lit(default_k)).alias("k"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("query"), r"[\s.\-_@/]+"), lambda t: t != F.lit("")
+                )
+            )
+        ).alias("term"),
+    )
+    n_terms = qt.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(K1)
+        * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.col("avgdl"))
+    )
+    scored = (
+        F.broadcast(qt)
+        .join(index.term_freq, "term")
+        .join(F.broadcast(index.term_stats.join(qt.select("term").distinct(), "term")), "term")
+        .join(index.doc_stats, "doc_id")
+        .crossJoin(F.broadcast(index.corpus))
+        .select(
+            "query_id", "mode", "k", "doc_id",
+            (idf * tf_part).alias("contrib"),
+        )
+        .groupBy("query_id", "mode", "k", "doc_id")
+        .agg(F.sum("contrib").alias("raw_score"), F.count("*").alias("nmatch"))
+        .join(F.broadcast(n_terms), "query_id")
+        .filter((F.col("mode") != "and") | (F.col("nmatch") == F.col("n_terms")))
+        .select(
+            "query_id", "k", "doc_id",
+            F.round("raw_score", SCORE_DECIMALS).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
