@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+  build_index      — inverted-index build over the transcript corpus for
+                     the tier (FIXTURES.md sizes: sf0.1 → 500k turns),
+                     generated once (seed=42) and cached as parquet so
+                     only Spark work is timed → turns_indexed_per_sec
+  query_batch      — the full reference query set answered in one
+                     batched Spark job → queries_per_sec
+  ft_*             — headline registry queries over the driver's
+                     documents table at the sf dir
+
+Usage: python bench.py            (driver contract)
+       python bench.py --master local[8]   (scaling evidence runs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TRANSCRIPT_TURNS_PER_SF = 5_000_000  # sf0.1 → 500k turns (FIXTURES.md §1)
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_transcripts(spark, n_turns: int) -> str:
+    """Deterministic corpus, cached as parquet so generation isn't timed."""
+    from pyf_aggregator_spark.fixtures.transcripts import transcripts_df
+
+    path = f"/tmp/pyfagg_bench/transcripts_{n_turns}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        transcripts_df(spark, n_turns).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--turns", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyf_aggregator_spark.fixtures.transcripts import reference_queries
+    from pyf_aggregator_spark.index.builder import assign_doc_ids, build_index
+    from pyf_aggregator_spark.registry import REGISTRY, documents_index
+    from pyf_aggregator_spark.search.engine import bm25_topk_batch
+    from pyf_aggregator_spark.session import get_spark
+
+    sf = sf_from_dir(args.sf_dir)
+    n_turns = args.turns or max(10_000, int(TRANSCRIPT_TURNS_PER_SF * sf))
+    spark = get_spark(app_name="pyfagg-bench", master=args.master)
+    cores = spark.sparkContext.defaultParallelism
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    corpus_path = ensure_transcripts(spark, n_turns)
+
+    # warmup: absorb JVM JIT/codegen compile so timings measure the engine
+    spark.read.parquet(corpus_path).limit(1000).groupBy("role").count().collect()
+
+    # ---- build: transcripts → docIDs → full index, all tables materialized
+    t0 = time.monotonic()
+    docs = assign_doc_ids(spark.read.parquet(corpus_path))
+    index = build_index(docs).cache().materialize()
+    n_docs = index.corpus.collect()[0]["n_docs"]
+    timings["build_index"] = time.monotonic() - t0
+    extras["turns_indexed"] = float(n_docs)
+    extras["turns_indexed_per_sec"] = n_docs / timings["build_index"]
+
+    # ---- query batch: the reference query set in ONE Spark job
+    qs = reference_queries()
+    qdf = spark.createDataFrame(
+        [(q["query_id"], q["query"], q["mode"], q["k"]) for q in qs],
+        "query_id string, query string, mode string, k int",
+    )
+    t0 = time.monotonic()
+    bm25_topk_batch(index, qdf).collect()
+    timings["query_batch"] = time.monotonic() - t0
+    extras["queries_per_sec"] = len(qs) / timings["query_batch"]
+
+    # ---- headline registry queries over the driver's sf tables
+    headline = [
+        "ft_bm25_or_two_terms",
+        "ft_bm25_and_three_terms",
+        "ft_bm25_single_rare",
+        "ft_term_stats",
+        "ft_match_all_filter_sort",
+    ]
+    documents_index(spark, args.sf_dir).materialize()  # warm shared index
+    for name in headline:
+        if name not in REGISTRY:
+            continue
+        fn, _ = REGISTRY[name]
+        t0 = time.monotonic()
+        fn(spark, args.sf_dir).collect()
+        timings[name] = time.monotonic() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "total_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "master": spark.sparkContext.master,
+        "cores": cores,
+        **{k: round(v, 3) for k, v in extras.items()},
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyf_aggregator_spark.functions.tokenize import tokenize_col
+from pyf_aggregator_spark import TOKEN_SEP_RE
 
 
 def assign_doc_ids(
@@ -89,23 +89,50 @@ def assign_doc_ids(
 
 @dataclass
 class CorpusIndex:
-    """Handles to the index tables for one corpus."""
+    """Handles to the index tables for one corpus.
+
+    ``postings``/``term_idf`` are the impact-ready query-side tables:
+    the BM25 doc-length normalization and idf are folded in at build
+    time, so scoring a query is one broadcast join + one groupBy —
+    no doc_stats join on the query path (the classic impact-ordered
+    index preprocessing, here as plain columns).
+    """
 
     docs: DataFrame        # doc_id, text (+ passthrough columns)
     doc_stats: DataFrame   # doc_id, doc_len
     term_freq: DataFrame   # term, doc_id, tf
     term_stats: DataFrame  # term, df, cf
     corpus: DataFrame      # n_docs, total_len, avgdl  (1 row)
+    postings: DataFrame    # term, doc_id, tf, norm (norm = tf-part of BM25)
+    term_idf: DataFrame    # term, df, idf
 
     def cache(self) -> "CorpusIndex":
-        self.doc_stats.cache()
+        # term_freq is the shared upstream of every other table — cache it
+        # so tokenize+explode+agg runs once, not once per derived table.
         self.term_freq.cache()
+        self.doc_stats.cache()
         self.term_stats.cache()
         self.corpus.cache()
+        self.postings.cache()
+        self.term_idf.cache()
+        return self
+
+    def materialize(self) -> "CorpusIndex":
+        """Force-build every cached table; upstream-first so each derived
+        table reuses the cached parent instead of recomputing the scan."""
+        self.term_freq.count()
+        self.doc_stats.count()
+        self.corpus.collect()
+        self.term_stats.count()
+        self.postings.count()
+        self.term_idf.count()
         return self
 
     def unpersist(self) -> None:
-        for df in (self.doc_stats, self.term_freq, self.term_stats, self.corpus):
+        for df in (
+            self.doc_stats, self.term_stats, self.corpus,
+            self.postings, self.term_idf,
+        ):
             df.unpersist()
 
 
@@ -120,7 +147,13 @@ def build_index(
     spark: SparkSession = docs.sparkSession
     base = docs.select(F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
-    tokens = base.select("doc_id", F.explode(tokenize_col("text")).alias("term"))
+    # explode-then-filter outruns filtering inside the array (the array
+    # higher-order filter materializes a second array per row; exploding
+    # the raw split keeps the empty-token drop inside one codegen stage)
+    tokens = base.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
+    ).filter(F.col("term") != "")
     term_freq = tokens.groupBy("term", "doc_id").agg(
         F.count("*").cast("long").alias("tf")
     )
@@ -145,7 +178,40 @@ def build_index(
         "total_len",
         (F.col("total_len").cast("double") / F.col("n_docs")).alias("avgdl"),
     )
+    from pyf_aggregator_spark import B, K1
+
+    # impact-ready postings: fold length normalization in at build time
+    postings = (
+        term_freq.join(doc_stats, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            (
+                (F.col("tf") * F.lit(K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.col("avgdl"))
+                )
+            ).alias("norm"),
+        )
+    )
+    term_idf = (
+        term_stats.crossJoin(F.broadcast(corpus))
+        .select(
+            "term",
+            "df",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
     return CorpusIndex(
         docs=docs, doc_stats=doc_stats, term_freq=term_freq,
         term_stats=term_stats, corpus=corpus,
+        postings=postings, term_idf=term_idf,
     )

@@ -29,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyf_aggregator_spark import B, K1
 from pyf_aggregator_spark.functions.tokenize import tokenize_py
 from pyf_aggregator_spark.index.builder import CorpusIndex
 
@@ -37,24 +36,18 @@ SCORE_DECIMALS = 4
 
 
 def _scored(index: CorpusIndex, terms: list[str]) -> DataFrame:
-    """Per-doc summed BM25 score + matched-term count for distinct terms."""
+    """Per-doc summed BM25 score + matched-term count for distinct terms.
+
+    Uses the impact-ready ``postings`` (norm precomputed at build time):
+    the IN-filter on term is pushed into the postings scan, idf is a
+    broadcast join of ≤|q| rows, and the only shuffle is the final
+    groupBy(doc_id) with map-side partial aggregation.
+    """
     q = sorted(set(terms))
-    tf = index.term_freq.filter(F.col("term").isin(q))
-    ts = F.broadcast(index.term_stats.filter(F.col("term").isin(q)))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_part = (F.col("tf") * F.lit(K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(K1)
-        * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.col("avgdl"))
-    )
     return (
-        tf.join(ts, "term")
-        .join(index.doc_stats, "doc_id")
-        .crossJoin(F.broadcast(index.corpus))
-        .select("doc_id", "term", (idf * tf_part).alias("contrib"))
+        index.postings.filter(F.col("term").isin(q))
+        .join(F.broadcast(index.term_idf.filter(F.col("term").isin(q))), "term")
+        .select("doc_id", (F.col("idf") * F.col("norm")).alias("contrib"))
         .groupBy("doc_id")
         .agg(
             F.sum("contrib").alias("raw_score"),
@@ -119,24 +112,12 @@ def bm25_topk_batch(
         ).alias("term"),
     )
     n_terms = qt.groupBy("query_id").agg(F.count("*").alias("n_terms"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_part = (F.col("tf") * F.lit(K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(K1)
-        * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.col("avgdl"))
-    )
     scored = (
-        F.broadcast(qt)
-        .join(index.term_freq, "term")
-        .join(F.broadcast(index.term_stats.join(qt.select("term").distinct(), "term")), "term")
-        .join(index.doc_stats, "doc_id")
-        .crossJoin(F.broadcast(index.corpus))
+        F.broadcast(qt.join(index.term_idf, "term"))
+        .join(index.postings, "term")
         .select(
             "query_id", "mode", "k", "doc_id",
-            (idf * tf_part).alias("contrib"),
+            (F.col("idf") * F.col("norm")).alias("contrib"),
         )
         .groupBy("query_id", "mode", "k", "doc_id")
         .agg(F.sum("contrib").alias("raw_score"), F.count("*").alias("nmatch"))
