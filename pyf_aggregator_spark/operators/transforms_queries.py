@@ -1,0 +1,445 @@
+"""Registry queries for the scalar-transform operators (SURVEY §2.7)
+plus the fixture-based filter/join/window operators (F1, F4, J1, W2).
+
+Spark side uses functions/transforms.py column expressions; the oracle
+SQL re-states the same semantics in DuckDB over the identical VALUES
+fixture (fixtures/packages.py renders both sides from ONE literal)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyf_aggregator_spark.fixtures.packages import (
+    enrichment_df,
+    enrichment_values_sql,
+    packages_df,
+    packages_values_sql,
+)
+from pyf_aggregator_spark.functions.transforms import (
+    GITHUB_RESERVED_OWNERS,
+    VERSION_RE,
+    classifier_versions,
+    clean_registry,
+    clean_string,
+    github_https_url,
+    github_owner_repo,
+    health_score,
+    iso_to_unix,
+    keyword_split,
+    version_parse,
+    version_sortable,
+)
+from pyf_aggregator_spark.registry import register
+
+PKG = packages_values_sql()
+ENR = enrichment_values_sql()
+
+# ---------------------------------------------------------------------- C1
+
+
+@register(
+    "c1_keyword_split",
+    f"""
+    WITH {PKG}
+    SELECT name, version, unnest(
+      list_filter(list_transform(string_split_regex(keywords, '[,\\s]+'),
+                                 k -> trim(k)), k -> k <> '')
+    ) AS keyword
+    FROM packages
+    ORDER BY name, version, keyword
+    """,
+)
+def c1_keyword_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        packages_df(spark)
+        .select("name", "version", F.explode(keyword_split("keywords")).alias("keyword"))
+        .orderBy("name", "version", "keyword")
+    )
+
+
+# ------------------------------------------------------------------- C2/C3
+
+_V_SQL_CASE = f"""
+  CASE WHEN NOT regexp_matches(version, '{VERSION_RE}')
+       THEN '0.0000.0000.0000.0000.0000'
+       ELSE concat_ws('.',
+         CASE WHEN pfx = '' THEN '1'
+              WHEN starts_with(lower(pfx), 'a') OR starts_with(lower(pfx), 'b')
+                OR starts_with(lower(pfx), 'rc') OR starts_with(lower(pfx), 'c')
+                OR starts_with(lower(pfx), 'dev') THEN '0'
+              ELSE '1' END,
+         lpad(CASE WHEN g1 = '' THEN '0' ELSE g1 END, 4, '0'),
+         lpad(CASE WHEN g2 = '' THEN '0' ELSE g2 END, 4, '0'),
+         lpad(CASE WHEN g4 = '' THEN '0' ELSE g4 END, 4, '0'),
+         CASE WHEN pfx = '' THEN '0000'
+              WHEN starts_with(lower(pfx), 'a') THEN '0001'
+              WHEN starts_with(lower(pfx), 'b') THEN '0002'
+              WHEN starts_with(lower(pfx), 'rc') OR starts_with(lower(pfx), 'c') THEN '0003'
+              WHEN starts_with(lower(pfx), 'dev') THEN '0000'
+              ELSE '0000' END,
+         CASE WHEN pfx = '' OR NOT (
+                starts_with(lower(pfx), 'a') OR starts_with(lower(pfx), 'b')
+                OR starts_with(lower(pfx), 'rc') OR starts_with(lower(pfx), 'c')
+                OR starts_with(lower(pfx), 'dev'))
+              THEN '0000'
+              ELSE lpad(CASE WHEN regexp_replace(pfx, '[^0-9]', '', 'g') = ''
+                             THEN '0'
+                             ELSE regexp_replace(pfx, '[^0-9]', '', 'g') END, 4, '0')
+              END)
+  END
+"""
+
+_V_GROUPS = f"""
+  SELECT name, version,
+         regexp_extract(version, '{VERSION_RE}', 1) AS g1,
+         regexp_extract(version, '{VERSION_RE}', 2) AS g2,
+         regexp_extract(version, '{VERSION_RE}', 3) AS g3,
+         regexp_extract(version, '{VERSION_RE}', 4) AS g4,
+         regexp_extract(version, '{VERSION_RE}', 5) AS g5,
+         CASE WHEN regexp_extract(version, '{VERSION_RE}', 3) <> ''
+              THEN regexp_extract(version, '{VERSION_RE}', 3)
+              ELSE regexp_extract(version, '{VERSION_RE}', 5) END AS pfx
+  FROM packages
+"""
+
+
+@register(
+    "c2_version_parse",
+    f"""
+    WITH {PKG}, g AS ({_V_GROUPS})
+    SELECT name, version,
+      CASE WHEN regexp_matches(version, '{VERSION_RE}') AND g1 <> ''
+           THEN g1::INT ELSE 0 END AS version_major,
+      CASE WHEN regexp_matches(version, '{VERSION_RE}') AND g2 <> ''
+           THEN g2::INT ELSE 0 END AS version_minor,
+      CASE WHEN regexp_matches(version, '{VERSION_RE}') AND g4 <> ''
+           THEN g4::INT ELSE 0 END AS version_bugfix,
+      CASE WHEN regexp_matches(version, '{VERSION_RE}') THEN g3 ELSE '' END AS postfix,
+      CASE WHEN regexp_matches(version, '{VERSION_RE}') THEN g5 ELSE '' END AS version_postfix
+    FROM g
+    ORDER BY name, version
+    """,
+)
+def c2_version_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        packages_df(spark)
+        .select("name", "version", version_parse("version").alias("v"))
+        .select(
+            "name", "version",
+            "v.version_major", "v.version_minor", "v.version_bugfix",
+            "v.postfix", "v.version_postfix",
+        )
+        .orderBy("name", "version")
+    )
+
+
+@register(
+    "c3_version_sortable",
+    f"""
+    WITH {PKG}, g AS ({_V_GROUPS})
+    SELECT name, version, {_V_SQL_CASE} AS version_sortable
+    FROM g
+    ORDER BY name, version
+    """,
+)
+def c3_version_sortable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        packages_df(spark)
+        .select("name", "version", version_sortable("version").alias("version_sortable"))
+        .orderBy("name", "version")
+    )
+
+
+@register(
+    "w2_latest_version_per_package",
+    f"""
+    WITH {PKG}, g AS ({_V_GROUPS}),
+    enc AS (
+      SELECT name, version, {_V_SQL_CASE} AS vs FROM g
+    )
+    SELECT name, version FROM (
+      SELECT name, version,
+             row_number() OVER (PARTITION BY name ORDER BY vs DESC, version DESC) AS rn
+      FROM enc
+    ) WHERE rn = 1
+    ORDER BY name
+    """,
+)
+def w2_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lexicographic sort on version_sortable == PyPI 'latest'
+    (stable 2.5.3 beats pre-release 3.0.0a2; README.md:994-1006)."""
+    w = Window.partitionBy("name").orderBy(
+        F.desc("vs"), F.desc("version")
+    )
+    return (
+        packages_df(spark)
+        .withColumn("vs", version_sortable("version"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("name", "version")
+        .orderBy("name")
+    )
+
+
+# ---------------------------------------------------------------------- C4
+
+
+@register(
+    "c4_classifier_versions",
+    f"""
+    WITH {PKG}
+    SELECT name, version, unnest(
+      list_filter(
+        list_transform(classifiers,
+          c -> regexp_extract(c, '^Framework\\s*::\\s*Plone\\s*::\\s*([0-9][0-9.]*)$', 1)),
+        x -> x <> '')
+    ) AS plone_version
+    FROM packages
+    ORDER BY name, version, plone_version
+    """,
+)
+def c4_classifier_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        packages_df(spark)
+        .select(
+            "name", "version",
+            F.explode(
+                classifier_versions("classifiers", "Framework :: Plone")
+            ).alias("plone_version"),
+        )
+        .orderBy("name", "version", "plone_version")
+    )
+
+
+# ------------------------------------------------------------------- C8/C9
+
+_GH_NAME = "[A-Za-z0-9._-]+"
+_GH_SQL_PATTERNS = [
+    f"^(?:https?://|www\\.)github\\.com/({_GH_NAME}/{_GH_NAME})",
+    f"^git://github\\.com/({_GH_NAME}/{_GH_NAME})$",
+    f"^git\\+https://github\\.com/({_GH_NAME}/{_GH_NAME})$",
+    f"^git\\+ssh://git@github\\.com[:/]({_GH_NAME}/{_GH_NAME})$",
+    f"^git@github\\.com[:/]({_GH_NAME}/{_GH_NAME})$",
+]
+_RESERVED_IN = ", ".join(f"'{o}'" for o in GITHUB_RESERVED_OWNERS)
+
+_GH_CAND = "coalesce(" + ", ".join(
+    f"nullif(regexp_extract(base, '{p}', 1), '')" for p in _GH_SQL_PATTERNS
+) + ")"
+
+_GH_CTE = f"""
+gh AS (
+  SELECT name, version, home_page,
+         CASE WHEN lower(split_part({_GH_CAND}, '/', 1)) IN ({_RESERVED_IN})
+              THEN NULL ELSE {_GH_CAND} END AS owner_repo
+  FROM (
+    SELECT name, version, home_page,
+           regexp_replace(regexp_replace(home_page, '[#?].*$', ''), '\\.git$', '') AS base
+    FROM packages
+  )
+)"""
+
+
+@register(
+    "c8_github_owner_repo",
+    f"WITH {PKG}, {_GH_CTE} SELECT name, version, owner_repo FROM gh ORDER BY name, version",
+)
+def c8_github_owner_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        packages_df(spark)
+        .select("name", "version", github_owner_repo("home_page").alias("owner_repo"))
+        .orderBy("name", "version")
+    )
+
+
+@register(
+    "c9_git_url_normalize",
+    f"""
+    WITH {PKG}, {_GH_CTE}
+    SELECT name, version,
+           CASE WHEN owner_repo IS NULL THEN NULL
+                ELSE 'https://github.com/' || owner_repo END AS https_url
+    FROM gh ORDER BY name, version
+    """,
+)
+def c9_git_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        packages_df(spark)
+        .select("name", "version", github_https_url("home_page").alias("https_url"))
+        .orderBy("name", "version")
+    )
+
+
+# -------------------------------------------------------------------- C10
+
+
+@register(
+    "c10_iso_to_unix",
+    f"""
+    WITH {PKG}
+    SELECT name, version,
+           coalesce(epoch(TRY_CAST(upload_iso AS TIMESTAMPTZ))::BIGINT, 0) AS upload_unix
+    FROM packages ORDER BY name, version
+    """,
+)
+def c10_iso_to_unix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        packages_df(spark)
+        .select("name", "version", iso_to_unix("upload_iso").alias("upload_unix"))
+        .orderBy("name", "version")
+    )
+
+
+# -------------------------------------------------------------------- C11
+
+
+@register(
+    "c11_null_normalization",
+    f"""
+    WITH {PKG}
+    SELECT name, version,
+           coalesce(summary, '') AS summary_clean,
+           coalesce(keywords, '') AS keywords_clean,
+           coalesce(registry, 'pypi') AS registry_clean,
+           coalesce(epoch(TRY_CAST(upload_iso AS TIMESTAMPTZ))::BIGINT, 0) AS upload_unix
+    FROM packages ORDER BY name, version
+    """,
+)
+def c11_null_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        packages_df(spark)
+        .select(
+            "name", "version",
+            clean_string("summary").alias("summary_clean"),
+            clean_string("keywords").alias("keywords_clean"),
+            clean_registry("registry").alias("registry_clean"),
+            iso_to_unix("upload_iso").alias("upload_unix"),
+        )
+        .orderBy("name", "version")
+    )
+
+
+# ---------------------------------------------------------------- F1 / F4
+
+
+@register(
+    "f1_classifier_prefix_filter",
+    f"""
+    WITH {PKG}
+    SELECT name, version FROM packages
+    WHERE len(list_filter(classifiers, c -> c LIKE 'Framework :: Plone%')) > 0
+    ORDER BY name, version
+    """,
+)
+def f1_classifier_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: keep doc if ANY classifier startswith the filter prefix
+    (fetcher.py:582-602) — higher-order exists, no explode needed."""
+    return (
+        packages_df(spark)
+        .filter(F.exists("classifiers", lambda c: c.startswith("Framework :: Plone")))
+        .select("name", "version")
+        .orderBy("name", "version")
+    )
+
+
+@register(
+    "f4_registry_null_semantics",
+    f"""
+    WITH {PKG}
+    SELECT name, version, registry FROM packages
+    WHERE registry IS DISTINCT FROM 'npm'
+    ORDER BY name, version
+    """,
+)
+def f4_registry_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: exclude-registry with legacy-null tolerance (db.py:307-347):
+    docs without `registry` are NOT excluded — the exact 3-valued-logic
+    trap `!=` alone would get wrong."""
+    return (
+        packages_df(spark)
+        .filter((F.col("registry") != "npm") | F.col("registry").isNull())
+        .select("name", "version", "registry")
+        .orderBy("name", "version")
+    )
+
+
+# ---------------------------------------------------------------------- J1
+
+
+@register(
+    "j1_preserved_fields_merge",
+    f"""
+    WITH {PKG}, {ENR},
+    newest AS (
+      SELECT name, github_stars, github_open_issues FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY name ORDER BY enriched_iso DESC
+        ) AS rn FROM enrichment
+      ) WHERE rn = 1
+    )
+    SELECT p.name, p.version, n.github_stars, n.github_open_issues
+    FROM packages p LEFT JOIN newest n USING (name)
+    ORDER BY p.name, p.version
+    """,
+)
+def j1_preserved_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: refresh merge (main.py:115-160; queue.py:896-910): newest
+    existing doc's GitHub fields left-joined onto ALL fresh version
+    docs; broadcast join (enrichment is small by construction)."""
+    w = Window.partitionBy("name").orderBy(F.desc("enriched_iso"))
+    newest = (
+        enrichment_df(spark)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("name", "github_stars", "github_open_issues")
+    )
+    return (
+        packages_df(spark)
+        .join(F.broadcast(newest), "name", "left")
+        .select("name", "version", "github_stars", "github_open_issues")
+        .orderBy("name", "version")
+    )
+
+
+# --------------------------------------------------------------------- C12
+
+
+@register(
+    "c12_health_score",
+    f"""
+    WITH {ENR},
+    aged AS (
+      SELECT name, github_stars, github_open_issues,
+             date_diff('day', TRY_CAST(enriched_iso AS TIMESTAMPTZ),
+                       TIMESTAMPTZ '2024-06-01 00:00:00+00') AS age_days
+      FROM enrichment
+    )
+    SELECT name, age_days,
+      least(
+        CASE WHEN age_days <= 30 THEN 40 WHEN age_days <= 90 THEN 32
+             WHEN age_days <= 180 THEN 24 WHEN age_days <= 365 THEN 16
+             WHEN age_days <= 730 THEN 8 ELSE 0 END
+        + CASE WHEN github_stars >= 1000 THEN 30 WHEN github_stars >= 100 THEN 20
+               WHEN github_stars >= 10 THEN 10 ELSE 0 END
+        + 30
+        - CASE WHEN github_open_issues > 50 THEN 10 ELSE 0 END,
+        100) AS score
+    FROM aged ORDER BY name, age_days
+    """,
+)
+def c12_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: bucketed scoring as when/otherwise chains
+    (health_score.py:78-135 pattern; boundaries ours)."""
+    now = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    df = enrichment_df(spark).withColumn(
+        "age_days",
+        F.datediff(now.cast("date"), F.to_timestamp("enriched_iso").cast("date")),
+    )
+    return df.select(
+        "name",
+        "age_days",
+        health_score(
+            F.col("age_days"), F.col("github_stars"), F.col("github_open_issues")
+        ).alias("score"),
+    ).orderBy("name", "age_days")

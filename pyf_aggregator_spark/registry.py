@@ -82,6 +82,15 @@ def ft_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_operator_modules() -> None:
+    """Import operator modules for their @register side effects.
+
+    Called at the bottom of this module (after REGISTRY/register/load
+    exist) to avoid circular imports."""
+    import pyf_aggregator_spark.operators.relational  # noqa: F401
+    import pyf_aggregator_spark.operators.transforms_queries  # noqa: F401
+
+
 @register(
     "ft_match_all_filter_sort",
     """
@@ -99,3 +108,6 @@ def ft_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
         .limit(25)
     )
+
+
+_register_operator_modules()
