@@ -1,0 +1,347 @@
+"""Deduplication operators over `documents` / `embeddings`.
+
+The family a 100 TB training-data pipeline needs, each with a DuckDB
+oracle running identical hash math (portable md5-based hashing — no
+engine-specific murmur):
+
+  exact          hash-groupBy on normalized text
+  ngram-jaccard  word-5-gram shingles, shared-shingle self-join
+  minhash-LSH    8 md5 "permutations" → 4 bands of 2 → bucket join →
+                 exact-jaccard verify (the scale path: candidates only)
+  simhash        32-bit md5-nibble majority vote per doc
+  embedding      within-label cosine near-dup pairs
+
+Scale notes: the shingle self-join is quadratic in docs-per-shingle —
+that is exactly why minhash-LSH exists (band buckets bound candidate
+fan-out); at 10^12 docs you'd also salt the band-bucket groupBy. The
+md5-lexicographic-min trick gives a portable minhash family:
+h_i(s) = md5(i || '|' || s), a distinct deterministic "permutation"
+per i, identical across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyf_aggregator_spark import TOKEN_SEP_RE
+from pyf_aggregator_spark.registry import load, register
+
+N_PERM = 8
+N_BANDS = 4  # rows-per-band r = N_PERM / N_BANDS = 2
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.4
+SHINGLE_K = 5
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), TOKEN_SEP_RE), lambda t: t != F.lit(""))
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, shingle — DISTINCT word-5-gram shingles per doc."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (SHINGLE_K - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + j) for j in range(SHINGLE_K)]
+        ),
+    )
+    return (
+        d.select("doc_id", F.size(toks).alias("n"), sh.alias("sh"))
+        .filter(F.col("n") >= SHINGLE_K)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+tok AS (
+  SELECT doc_id, list_filter(
+    string_split_regex(lower(text), '[\\s.\\-_@/]+'), t -> t <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS shingle
+  FROM tok, unnest(range(1, len(t) - 3)) u(i)
+  WHERE len(t) >= 5
+)"""
+
+
+# ------------------------------------------------------------------- exact
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS text_hash,
+           count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY 1 ORDER BY text_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy; canonical = min doc_id per group.
+    One shuffle on the hash; at scale the map-side partial agg already
+    collapses intra-partition duplicates."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            F.md5(F.lower(F.trim("text")).cast("binary")).alias("text_hash")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+# ----------------------------------------------------------- ngram jaccard
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS k
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           round(k * 1.0 / (x.n + y.n - k), 4) AS jaccard
+    FROM shared JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+    WHERE k * 1.0 / (x.n + y.n - k) >= {JACCARD_THRESHOLD}
+    ORDER BY doc1, doc2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 5-gram Jaccard ≥ 0.5 via shared-shingle
+    self-join (blocking key = the shingle itself)."""
+    sh = _shingles_df(spark, sf_dir).cache()
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
+        )
+        .agg(F.count("*").alias("k"))
+    )
+    jac = F.col("k") / (F.col("n1") + F.col("n2") - F.col("k"))
+    return (
+        shared.join(sz.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1")), "doc1")
+        .join(sz.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2")), "doc2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )
+
+
+# -------------------------------------------------------------- minhash LSH
+
+_PERMS_SQL = ", ".join(str(i) for i in range(N_PERM))
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_SQL},
+    mh AS (
+      SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS h
+      FROM sh CROSS JOIN unnest([{_PERMS_SQL}]) p(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 2 AS band,
+             arg_min(h, i) || '|' || arg_max(h, i) AS band_key
+      FROM mh GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc1, c.doc2, count(*) AS k
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc1
+      JOIN sh s2 ON s2.doc_id = c.doc2 AND s2.shingle = s1.shingle
+      GROUP BY c.doc1, c.doc2
+    )
+    SELECT doc1, doc2, round(k * 1.0 / (x.n + y.n - k), 4) AS jaccard
+    FROM verified JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+    WHERE k * 1.0 / (x.n + y.n - k) >= {JACCARD_THRESHOLD}
+    ORDER BY doc1, doc2
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: 8 portable md5 'permutations', 4 bands of 2,
+    band-bucket join for candidates, exact-jaccard verification.
+
+    The scale path: candidate generation touches only band-bucket
+    collisions, never all pairs. Band keys are md5-min strings —
+    identical across engines."""
+    spark_sess = spark
+    sh = _shingles_df(spark_sess, sf_dir).cache()
+    perms = spark_sess.range(N_PERM).select(F.col("id").cast("int").alias("i"))
+    mh = (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.col("i").cast("string"), F.lit("|"), F.col("shingle")
+                    ).cast("binary")
+                )
+            ).alias("h")
+        )
+    )
+    bands = mh.groupBy(
+        "doc_id", (F.col("i") / 2).cast("int").alias("band")
+    ).agg(
+        F.concat(F.min_by("h", "i"), F.lit("|"), F.max_by("h", "i")).alias(
+            "band_key"
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    verified = (
+        cand.join(s1, "doc1").join(s2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("k"))
+    )
+    jac = F.col("k") / (F.col("n1") + F.col("n2") - F.col("k"))
+    return (
+        verified.join(sz.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1")), "doc1")
+        .join(sz.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2")), "doc2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc1", "doc2", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+_SIMHASH_BITS = 32
+_HEX_HIGH = "'8','9','a','b','c','d','e','f'"
+
+_SIMHASH_BIT_SQL = ", ".join(
+    f"CASE WHEN sum(CASE WHEN substr(md5(t), {j}, 1) IN ({_HEX_HIGH}) "
+    f"THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+    for j in range(1, _SIMHASH_BITS + 1)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split_regex(lower(text), '[\\s.\\-_@/]+'), t -> t <> '')) AS t
+      FROM documents
+    )
+    SELECT doc_id, concat_ws('', {_SIMHASH_BIT_SQL}) AS simhash
+    FROM tok GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash: bit j = sign of Σ over token occurrences of ±1,
+    + when hex nibble j of md5(token) has its high bit set. Portable
+    across engines (pure md5 nibble tests), one groupBy shuffle."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
+    ).withColumn("h", F.md5(F.col("t").cast("binary")))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", j, 1).isin(list("89abcdef")), 1
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(1, _SIMHASH_BITS + 1)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"b{j}") > 0, "1").otherwise("0")
+            for j in range(1, _SIMHASH_BITS + 1)
+        ]
+    )
+    return agg.select("doc_id", bits.alias("simhash")).orderBy("doc_id")
+
+
+# ------------------------------------------------- embedding cosine dedup
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label,
+        list_sum(list_transform(range(1, len(a.embedding)+1),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+           * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec1, vec2, label, round(cos, 4) AS cosine
+    FROM pairs WHERE cos >= {COSINE_THRESHOLD}
+    ORDER BY vec1, vec2
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: label-blocked cosine ≥ threshold.
+    Blocking on the cluster label bounds the quadratic pair space —
+    the same role the LSH band plays for text."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+    norm = lambda x: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(x, lambda p: p * p), F.lit(0.0), lambda a, z: a + z)
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .select("vec1", "vec2", "label", F.round("cos", 4).alias("cosine"))
+        .orderBy("vec1", "vec2")
+    )
