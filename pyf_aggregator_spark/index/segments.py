@@ -1,0 +1,242 @@
+"""Segment files: compressed, block-structured posting lists on disk.
+
+The durable form of the index (SURVEY §7 phase 2-3). Layout under
+``<index_dir>/``:
+
+  segments/     parquet, partitioned by part_id — one row per
+                (term, block): docID-delta+varbyte docs, varbyte tfs,
+                varbyte doc_lens, per-block max BM25 norm (block-max
+                WAND metadata), first/last doc bounds
+  meta/         parquet — one row per part_id: lineage, token/posting/
+                block counts, md5 checksum of all block payloads
+                (the resumable checkpoint unit)
+  term_stats/   term, df, cf, idf
+  doc_stats/    doc_id, doc_len
+  corpus/       n_docs, total_len, avgdl
+
+Partitioning: docIDs are dense (assign_doc_ids), so part_id =
+doc_id // docs_per_part gives contiguous, deterministic doc ranges
+with NO range sampling — the same doc always lands in the same part,
+which makes per-partition checkpoints byte-identical across re-runs
+(the BASELINE.json resume invariant).
+
+Hot-term skew: a term's postings are split per doc-range partition
+(each partition holds at most docs_per_part postings of any term) and
+never re-merged into one reducer — the doc-range split IS the salting;
+queries fan out per-partition and merge k-row results. The encode
+shuffle key is part_id (uniform by construction), so Zipf-head terms
+cannot hot-spot a reducer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyf_aggregator_spark import B, K1, TOKEN_SEP_RE
+from pyf_aggregator_spark.index.codec import encode_postings, varbyte_encode
+
+BLOCK_SIZE = 128
+
+SEGMENT_SCHEMA = (
+    "part_id int, term string, block_id int, n int, first_doc long, "
+    "last_doc long, max_norm double, docs_vb binary, tfs_vb binary, "
+    "dls_vb binary"
+)
+META_SCHEMA = (
+    "part_id int, doc_lo long, doc_hi long, n_postings long, "
+    "n_tokens long, n_terms long, n_blocks long, checksum string, "
+    "lineage string"
+)
+
+
+def _norm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    return (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+
+
+def _encode_partition(
+    avgdl: float, block_size: int, lineage: str
+):
+    """applyInPandas kernel: one doc-range partition → segment rows + meta.
+
+    Deterministic: input sorted by (term, doc_id); blocks cut at fixed
+    boundaries; checksum = md5 over payload bytes in that order."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        part_id = int(pdf["part_id"].iloc[0])
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        out: list[tuple] = []
+        h = hashlib.md5()
+        n_tokens = 0
+        for term, g in pdf.groupby("term", sort=True):
+            ids = g["doc_id"].to_numpy(np.uint64)
+            tfs = g["tf"].to_numpy(np.uint64)
+            dls = g["doc_len"].to_numpy(np.uint64)
+            n_tokens += int(tfs.sum())
+            for bi, lo in enumerate(range(0, len(ids), block_size)):
+                sl = slice(lo, lo + block_size)
+                docs_vb, tfs_vb = encode_postings(ids[sl], tfs[sl])
+                dls_vb = varbyte_encode(dls[sl])
+                max_norm = float(_norm(tfs[sl], dls[sl], avgdl).max())
+                h.update(term.encode())
+                h.update(docs_vb)
+                h.update(tfs_vb)
+                h.update(dls_vb)
+                out.append(
+                    (
+                        part_id, term, bi, int(len(ids[sl])),
+                        int(ids[sl][0]), int(ids[sl][-1]), max_norm,
+                        docs_vb, tfs_vb, dls_vb,
+                    )
+                )
+        seg = pd.DataFrame(
+            out,
+            columns=[
+                "part_id", "term", "block_id", "n", "first_doc", "last_doc",
+                "max_norm", "docs_vb", "tfs_vb", "dls_vb",
+            ],
+        )
+        # meta travels on a sentinel row (block_id = -1) to keep one
+        # applyInPandas pass; split out by the caller before writing
+        meta_payload = "|".join(
+            str(x)
+            for x in (
+                int(pdf["doc_id"].min()), int(pdf["doc_id"].max()),
+                len(pdf), n_tokens, pdf["term"].nunique(), len(out),
+                h.hexdigest(), lineage,
+            )
+        )
+        meta_row = pd.DataFrame(
+            [
+                (
+                    part_id, meta_payload, -1, 0, 0, 0, 0.0,
+                    b"", b"", b"",
+                )
+            ],
+            columns=[
+                "part_id", "term", "block_id", "n", "first_doc", "last_doc",
+                "max_norm", "docs_vb", "tfs_vb", "dls_vb",
+            ],
+        )
+        return pd.concat([seg, meta_row], ignore_index=True)
+
+    return fn
+
+
+def build_segments(
+    docs: DataFrame,
+    index_dir: str,
+    num_partitions: int | None = None,
+    block_size: int = BLOCK_SIZE,
+    lineage: str = "",
+    only_parts: list[int] | None = None,
+) -> dict:
+    """docs(doc_id dense 0..N-1, text) → segment files + stats tables.
+
+    Resumable: partitions already present in ``meta/`` (same lineage)
+    are skipped; fresh partitions are appended. ``only_parts`` lets
+    tests simulate a mid-build failure.
+    Returns summary counters."""
+    spark = docs.sparkSession
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    ensure_py_files(spark)  # the encode kernel imports this package on workers
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    base = docs.select("doc_id", "text")
+    tokens = base.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+    doc_stats = (
+        base.select("doc_id")
+        .join(tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len")), "doc_id", "left")
+        .select("doc_id", F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"))
+    )
+
+    n_docs, total_len = doc_stats.agg(
+        F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
+    ).collect()[0]
+    avgdl = total_len / n_docs
+    docs_per_part = max(1, math.ceil(n_docs / num_partitions))
+    n_parts = math.ceil(n_docs / docs_per_part)
+
+    # ---- stats tables (cheap, deterministic → overwrite every build)
+    term_stats = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    term_stats = term_stats.select(
+        "term", "df", "cf",
+        F.log(
+            F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    term_stats.write.mode("overwrite").parquet(f"{index_dir}/term_stats")
+    doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
+    spark.createDataFrame(
+        [(int(n_docs), int(total_len), float(avgdl))],
+        "n_docs long, total_len long, avgdl double",
+    ).write.mode("overwrite").parquet(f"{index_dir}/corpus")
+
+    # ---- resume: skip partitions whose checkpoint row already exists
+    done: set[int] = set()
+    meta_path = f"{index_dir}/meta"
+    if os.path.exists(meta_path):
+        done = {
+            r["part_id"]
+            for r in spark.read.parquet(meta_path)
+            .filter(F.col("lineage") == lineage)
+            .select("part_id")
+            .collect()
+        }
+    todo = [p for p in range(n_parts) if p not in done]
+    if only_parts is not None:
+        todo = [p for p in todo if p in only_parts]
+    if not todo:
+        return {"n_parts": n_parts, "built": 0, "skipped": len(done)}
+
+    postings = (
+        tf.join(doc_stats, "doc_id")
+        .withColumn(
+            "part_id", (F.col("doc_id") / docs_per_part).cast("int")
+        )
+        .filter(F.col("part_id").isin(todo))
+    )
+    encoded = postings.groupBy("part_id").applyInPandas(
+        _encode_partition(avgdl, block_size, lineage), SEGMENT_SCHEMA
+    )
+    encoded = encoded.cache()
+    seg_rows = encoded.filter(F.col("block_id") >= 0)
+    meta_rows = encoded.filter(F.col("block_id") == -1).select(
+        "part_id", F.col("term").alias("payload")
+    )
+
+    seg_rows.write.mode("append").partitionBy("part_id").parquet(
+        f"{index_dir}/segments"
+    )
+    parts = F.split("payload", r"\|")
+    meta_rows.select(
+        "part_id",
+        parts.getItem(0).cast("long").alias("doc_lo"),
+        parts.getItem(1).cast("long").alias("doc_hi"),
+        parts.getItem(2).cast("long").alias("n_postings"),
+        parts.getItem(3).cast("long").alias("n_tokens"),
+        parts.getItem(4).cast("long").alias("n_terms"),
+        parts.getItem(5).cast("long").alias("n_blocks"),
+        parts.getItem(6).alias("checksum"),
+        parts.getItem(7).alias("lineage"),
+    ).write.mode("append").parquet(meta_path)
+    built = len(todo)
+    encoded.unpersist()
+    return {"n_parts": n_parts, "built": built, "skipped": len(done)}

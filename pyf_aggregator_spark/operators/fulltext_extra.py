@@ -1,0 +1,94 @@
+"""Segment/WAND-backed and multi-field full-text registry queries.
+
+These cross-check the compressed-segment + block-max-WAND path against
+the SAME DuckDB BM25 oracle as the DataFrame path — rank-identity of
+the two engines and the oracle, via the driver's own gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyf_aggregator_spark.index.builder import build_index
+from pyf_aggregator_spark.index.segments import build_segments
+from pyf_aggregator_spark.oracle import sql as osql
+from pyf_aggregator_spark.registry import documents_index, load, register
+from pyf_aggregator_spark.search.engine import bm25_topk, bm25_topk_multifield
+from pyf_aggregator_spark.search.wand import load_index, wand_topk
+
+_SEG_CACHE: dict[tuple[int, str], dict] = {}
+
+
+def documents_segment_index(spark: SparkSession, sf_dir: str) -> dict:
+    """Segment index over the sf documents table, built once per tier
+    under /tmp (deterministic content — resumable on reuse)."""
+    key = (id(spark), sf_dir)
+    if key not in _SEG_CACHE:
+        tier = os.path.basename(sf_dir.rstrip("/"))
+        index_dir = f"/tmp/pyfagg_segidx/{tier}"
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        build_segments(
+            docs, index_dir, lineage=f"documents-{tier}"
+        )  # no-op when checkpoints exist
+        idx = load_index(spark, index_dir)
+        idx["segments"] = idx["segments"].cache()
+        _SEG_CACHE[key] = idx
+    return _SEG_CACHE[key]
+
+
+_WAND_CASES = {
+    "ft_wand_or_two_terms": ("spark vector", 20, "or"),
+    "ft_wand_and_three_terms": ("spark vector window", 20, "and"),
+    "ft_wand_single_rare": ("dup", 20, "or"),
+}
+
+for _name, (_q, _k, _mode) in _WAND_CASES.items():
+    def _mk(q=_q, k=_k, mode=_mode):
+        def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return wand_topk(documents_segment_index(spark, sf_dir), q, k=k, mode=mode)
+        return fn
+    register(_name, osql.bm25_topk_sql(_q, _k, _mode))(_mk())
+
+
+_MF_FIELDS = {"text": 3.0, "source": 10.0}
+_MF_QUERY = "spark src12"
+
+
+@register(
+    "ft_bm25_multifield_weighted",
+    osql.bm25_multifield_sql(_MF_QUERY, _MF_FIELDS, k=25),
+)
+def ft_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 query_by_weights: weighted multi-field BM25 over
+    (text ×3, source ×10) — the description_splitter raison d'être."""
+    docs = load(spark, sf_dir, "documents")
+    indexes = {
+        "text": documents_index(spark, sf_dir),
+        "source": build_index(docs, text_col="source"),
+    }
+    return bm25_topk_multifield(indexes, _MF_FIELDS, _MF_QUERY, k=25)
+
+
+@register(
+    "j5_topk_hydrate",
+    f"""
+    WITH topk AS ({osql.bm25_topk_sql("spark vector", 15, "or").strip().rstrip()})
+    SELECT t.doc_id, t.score, d.lang, d.n_chars
+    FROM topk t JOIN documents d USING (doc_id)
+    ORDER BY t.score DESC, t.doc_id ASC
+    """,
+)
+def j5_topk_hydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: search hits → hydrate documents by id (db.py:403-426):
+    k-row result broadcast-joined back to the corpus."""
+    topk = bm25_topk(documents_index(spark, sf_dir), "spark vector", k=15, mode="or")
+    docs = load(spark, sf_dir, "documents")
+    return (
+        F.broadcast(topk)
+        .join(docs, "doc_id")
+        .select("doc_id", "score", "lang", "n_chars")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

@@ -69,6 +69,76 @@ LIMIT {k}
 """
 
 
+def _field_ctes(col: str, p: str) -> str:
+    """TOKENS_CTE parametrized by text column and CTE prefix."""
+    return f"""
+{p}tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower({col}), '{SEP_RE_SQL}')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+{p}tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM {p}tok GROUP BY doc_id, term),
+{p}dl AS (
+  SELECT d.doc_id, coalesce(s.doc_len, 0)::BIGINT AS doc_len
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, sum(tf) AS doc_len FROM {p}tf GROUP BY doc_id
+  ) s USING (doc_id)
+),
+{p}dfreq AS (SELECT term, count(*)::BIGINT AS df FROM {p}tf GROUP BY term),
+{p}corpus AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         coalesce(sum(doc_len), 0)::DOUBLE / count(*) AS avgdl
+  FROM {p}dl
+),
+{p}hits AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / c.avgdl))
+         ) AS raw_score
+  FROM {p}tf tf
+  JOIN {p}dfreq dfreq USING (term)
+  JOIN {p}dl dl USING (doc_id)
+  CROSS JOIN {p}corpus c
+  WHERE tf.term IN ({{in_list}})
+  GROUP BY tf.doc_id
+)"""
+
+
+def bm25_multifield_sql(
+    query: str, fields: dict[str, float], k: int = 10
+) -> str:
+    """Weighted multi-field disjunctive BM25 (query_by_weights analog):
+    score = Σ_field weight · bm25_field; a doc matches if ANY field
+    matches."""
+    terms = sorted(set(tokenize_py(query)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    ctes = ",".join(
+        _field_ctes(col, f"f{i}_").format(in_list=in_list)
+        for i, col in enumerate(fields)
+    )
+    weighted = " + ".join(
+        f"coalesce(f{i}_score, 0.0) * {w}" for i, w in enumerate(fields.values())
+    )
+    # union doc_ids then left join each field's hit set
+    union_ids = " UNION ".join(
+        f"SELECT doc_id FROM f{i}_hits" for i in range(len(fields))
+    )
+    left_joins = " ".join(
+        f"LEFT JOIN (SELECT doc_id, raw_score AS f{i}_score FROM f{i}_hits) s{i} USING (doc_id)"
+        for i in range(len(fields))
+    )
+    return f"""
+WITH {ctes},
+ids AS ({union_ids})
+SELECT doc_id, round({weighted}, {SCORE_DECIMALS}) AS score
+FROM ids {left_joins}
+ORDER BY round({weighted}, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def term_stats_sql() -> str:
     return f"WITH {TOKENS_CTE} SELECT term, df, cf FROM dfreq ORDER BY term"
 

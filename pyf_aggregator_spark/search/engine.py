@@ -86,6 +86,44 @@ def bm25_topk(
     )
 
 
+def bm25_topk_multifield(
+    indexes: dict[str, CorpusIndex],
+    weights: dict[str, float],
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """Weighted multi-field search — the reference's query_by +
+    query_by_weights surface (AGENTS.md:16-20: title 10x, first_chapter
+    5x, main_content 3x, changelog 1x, searched together).
+
+    score(d) = Σ_field weight_f · bm25_f(d); disjunctive across fields
+    (a doc matches if any field matches). Per-field scored sets are
+    unioned then summed in one groupBy — the weighted union U2+A6."""
+    terms = tokenize_py(query)
+    any_index = next(iter(indexes.values()))
+    if not terms:
+        return any_index.docs.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    parts = []
+    for field, index in indexes.items():
+        parts.append(
+            _scored(index, terms).select(
+                "doc_id",
+                (F.col("raw_score") * F.lit(weights[field])).alias("contrib"),
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return (
+        unioned.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_topk_batch(
     index: CorpusIndex, queries: DataFrame, default_k: int = 10
 ) -> DataFrame:

@@ -1,0 +1,207 @@
+"""Top-k BM25 over segment files with block-max WAND pruning.
+
+Distributed shape: the segment scan is filtered to the query terms
+(parquet predicate pushdown on `term` + partition pruning on part_id
+directories), then one ``applyInPandas`` per doc-range partition runs
+an interval-granular block-max WAND in numpy, emitting ≤k local
+candidates; the global answer is the k-row merge of partition winners
+(TakeOrdered — no global sort, no full-score materialization).
+
+Pruning logic (BMW, Ding & Suel 2011, re-expressed over doc-range
+intervals): split the partition's doc range at block boundaries; each
+interval has upper bound Σ_t idf_t · max_norm(block of t covering it).
+Process intervals in descending upper-bound order; once the bound falls
+below the current k-th exact score, every remaining interval is
+prunable and decoding stops. Exact scores use the same float64 math as
+the DataFrame engine, so results stay rank-identical to the oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyf_aggregator_spark import B, K1
+from pyf_aggregator_spark.functions.tokenize import tokenize_py
+from pyf_aggregator_spark.index.codec import decode_postings, varbyte_decode
+from pyf_aggregator_spark.search.engine import SCORE_DECIMALS
+
+
+def _score_block(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    return idf * (tf * (K1 + 1.0)) / (
+        tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl)
+    )
+
+
+def _wand_partition(idf_map: dict[str, float], avgdl: float, k: int, mode: str,
+                    n_query_terms: int):
+    """applyInPandas kernel: blocks of one doc-range partition → local top-k."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = sorted(pdf["term"].unique())
+        if mode == "and" and len(terms) < n_query_terms:
+            return pd.DataFrame({"doc_id": [], "raw_score": []})
+
+        # per-term block tables, sorted by first_doc
+        per_term = {}
+        bounds = set()
+        for t in terms:
+            g = pdf[pdf["term"] == t].sort_values("first_doc")
+            per_term[t] = g
+            bounds.update(g["first_doc"].tolist())
+            bounds.update((g["last_doc"] + 1).tolist())
+        edges = np.array(sorted(bounds), dtype=np.int64)
+        if len(edges) < 2:
+            return pd.DataFrame({"doc_id": [], "raw_score": []})
+        ivl_lo, ivl_hi = edges[:-1], edges[1:] - 1  # inclusive doc ranges
+
+        # upper bound per interval = Σ idf_t · max_norm of covering block
+        n_ivl = len(ivl_lo)
+        ub = np.zeros(n_ivl, dtype=np.float64)
+        active = np.zeros((len(terms), n_ivl), dtype=bool)
+        for ti, t in enumerate(terms):
+            g = per_term[t]
+            firsts = g["first_doc"].to_numpy(np.int64)
+            lasts = g["last_doc"].to_numpy(np.int64)
+            maxn = g["max_norm"].to_numpy(np.float64)
+            # block covering interval i: last block with first_doc <= lo
+            bi = np.searchsorted(firsts, ivl_lo, side="right") - 1
+            ok = (bi >= 0) & (ivl_lo <= lasts[np.clip(bi, 0, None)])
+            ub += np.where(ok, idf_map[t] * maxn[np.clip(bi, 0, None)], 0.0)
+            active[ti] = ok
+        if mode == "and":
+            all_active = active.all(axis=0)
+            ub = np.where(all_active, ub, 0.0)
+
+        # Heap/prune decisions use ROUNDED scores: the global rank is
+        # (round(score,4) desc, doc_id asc), so a raw-score heap could
+        # keep the wrong doc among rounding-equal ties. Pruning is safe
+        # because round is monotone: round(ub) < θ ⟹ round(s) < θ for
+        # every s ≤ ub in the interval.
+        q = 10**SCORE_DECIMALS
+        rnd = lambda x: np.round(np.asarray(x, dtype=np.float64) * q) / q  # noqa: E731
+        order = np.argsort(-ub, kind="mergesort")
+        heap: list[tuple[float, int, float]] = []  # (round_score, -doc_id, raw)
+        theta = -np.inf
+
+        # decode cache per term
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def term_postings(t: str) -> tuple[np.ndarray, np.ndarray]:
+            if t not in decoded:
+                g = per_term[t]
+                ids_all, scores_all = [], []
+                for _, r in g.iterrows():
+                    ids, tfs = decode_postings(r["docs_vb"], r["tfs_vb"])
+                    dls = varbyte_decode(r["dls_vb"])
+                    ids_all.append(ids.astype(np.int64))
+                    scores_all.append(
+                        _score_block(tfs, dls, idf_map[t], avgdl)
+                    )
+                decoded[t] = (
+                    np.concatenate(ids_all),
+                    np.concatenate(scores_all),
+                )
+            return decoded[t]
+
+        for i in order:
+            if ub[i] <= 0.0:
+                break
+            if len(heap) >= k and float(rnd(ub[i])) < theta:
+                break  # ub desc ⟹ every remaining interval rounds below θ
+            lo, hi = int(ivl_lo[i]), int(ivl_hi[i])
+            # exact-score docs in [lo, hi]
+            width = hi - lo + 1
+            acc = np.zeros(width, dtype=np.float64)
+            nmatch = np.zeros(width, dtype=np.int32)
+            for ti, t in enumerate(terms):
+                if not active[ti, i]:
+                    continue
+                ids, sc = term_postings(t)
+                a = np.searchsorted(ids, lo, side="left")
+                b_ = np.searchsorted(ids, hi, side="right")
+                if a == b_:
+                    continue
+                off = ids[a:b_] - lo
+                acc[off] += sc[a:b_]
+                nmatch[off] += 1
+            if mode == "and":
+                hit = nmatch == n_query_terms
+            else:
+                hit = nmatch > 0
+            offs = np.flatnonzero(hit)
+            if len(heap) >= k and offs.size:
+                # vectorized pre-filter: only rounding-≥θ candidates can
+                # enter the heap (equal can still win on doc_id)
+                offs = offs[rnd(acc[offs]) >= theta]
+            for off in offs:
+                raw = float(acc[off])
+                d = lo + int(off)
+                item = (float(rnd(raw)), -d, raw)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                    if len(heap) == k:
+                        theta = heap[0][0]
+                elif item[:2] > heap[0][:2]:
+                    heapq.heapreplace(heap, item)
+                    theta = heap[0][0]
+        if not heap:
+            return pd.DataFrame({"doc_id": [], "raw_score": []})
+        return pd.DataFrame(
+            {
+                "doc_id": [-d for _, d, _ in heap],
+                "raw_score": [raw for _, _, raw in heap],
+            }
+        )
+
+    return fn
+
+
+def load_index(spark: SparkSession, index_dir: str) -> dict:
+    """Handles + scalars for a segment index directory."""
+    corpus = spark.read.parquet(f"{index_dir}/corpus").collect()[0]
+    return {
+        "segments": spark.read.parquet(f"{index_dir}/segments"),
+        "term_stats": spark.read.parquet(f"{index_dir}/term_stats"),
+        "n_docs": corpus["n_docs"],
+        "avgdl": corpus["avgdl"],
+        "dir": index_dir,
+    }
+
+
+def wand_topk(
+    idx: dict, query: str, k: int = 10, mode: str = "or"
+) -> DataFrame:
+    """→ DataFrame(doc_id long, score double): segment-backed top-k,
+    rank-identical to engine.bm25_topk (same rounding + tie-break)."""
+    spark = idx["segments"].sparkSession
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    ensure_py_files(spark)  # WAND kernel imports this package on workers
+    terms = sorted(set(tokenize_py(query)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_rows = (
+        idx["term_stats"].filter(F.col("term").isin(terms)).select("term", "idf").collect()
+    )
+    idf_map = {r["term"]: r["idf"] for r in idf_rows}
+    if not idf_map or (mode == "and" and len(idf_map) < len(terms)):
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
+    local = seg.groupBy("part_id").applyInPandas(
+        _wand_partition(idf_map, idx["avgdl"], k, mode, len(terms)),
+        "doc_id long, raw_score double",
+    )
+    return (
+        local.select(
+            "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

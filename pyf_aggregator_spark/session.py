@@ -10,8 +10,37 @@ via spark-submit --conf).
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def ensure_py_files(spark: SparkSession) -> None:
+    """Ship this package to Python workers (the local analog of
+    ``spark-submit --py-files``). Required whenever an applyInPandas /
+    mapInPandas kernel references package modules: workers unpickle the
+    kernel by module reference and must be able to import it regardless
+    of their working directory."""
+    zip_path = os.path.join(
+        "/tmp", f"pyf_aggregator_spark_pyfiles_{os.getpid()}.zip"
+    )
+    # rebuilt once per process so code edits never ship a stale zip
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(_PKG_DIR):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "pyf_aggregator_spark", os.path.relpath(full, _PKG_DIR)
+                    )
+                    zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
 
 
 def get_spark(

@@ -1,0 +1,107 @@
+"""Segment build (resume byte-identity) + block-max WAND rank-identity."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyf_aggregator_spark.fixtures.transcripts import (
+    reference_queries,
+    transcripts_df,
+)
+from pyf_aggregator_spark.index.builder import assign_doc_ids
+from pyf_aggregator_spark.index.segments import build_segments
+from pyf_aggregator_spark.oracle.bm25 import NumpyBM25
+from pyf_aggregator_spark.search.wand import load_index, wand_topk
+
+N_TURNS = 3000
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    docs = assign_doc_ids(transcripts_df(spark, N_TURNS), num_partitions=4)
+    docs = docs.persist()
+    docs.count()
+    index_dir = str(tmp_path_factory.mktemp("segidx"))
+    stats = build_segments(docs, index_dir, num_partitions=4, lineage="test-v1")
+    pdf = docs.select("doc_id", "text").toPandas()
+    oracle = NumpyBM25.fit(list(zip(pdf["doc_id"], pdf["text"])))
+    yield spark, docs, index_dir, stats, oracle
+    docs.unpersist()
+
+
+def test_build_stats(built):
+    spark, docs, index_dir, stats, _ = built
+    assert stats["built"] == stats["n_parts"] and stats["skipped"] == 0
+    meta = spark.read.parquet(f"{index_dir}/meta").toPandas()
+    assert len(meta) == stats["n_parts"]
+    assert meta["n_postings"].sum() > 0
+    # token accounting: meta token counts == corpus total_len
+    corpus = spark.read.parquet(f"{index_dir}/corpus").collect()[0]
+    assert meta["n_tokens"].sum() == corpus["total_len"]
+    # doc ranges tile [0, N) without overlap
+    m = meta.sort_values("part_id")
+    assert m["doc_lo"].iloc[0] == 0
+    assert (m["doc_hi"].values[:-1] < m["doc_lo"].values[1:]).all()
+
+
+def test_resume_is_noop_when_complete(built):
+    spark, docs, index_dir, _, _ = built
+    stats2 = build_segments(docs, index_dir, num_partitions=4, lineage="test-v1")
+    assert stats2["built"] == 0 and stats2["skipped"] == stats2["n_parts"]
+
+
+def test_resume_byte_identical(built, tmp_path):
+    """Partial build + resume == one-shot build (same checksums, same
+    block payloads) — the BASELINE.json resumability invariant."""
+    spark, docs, index_dir, _, _ = built
+    d2 = str(tmp_path / "resumed")
+    build_segments(docs, d2, num_partitions=4, lineage="test-v1", only_parts=[0, 2])
+    st = build_segments(docs, d2, num_partitions=4, lineage="test-v1")
+    assert st["built"] == 2 and st["skipped"] == 2
+
+    meta1 = (
+        spark.read.parquet(f"{index_dir}/meta").toPandas().sort_values("part_id")
+    )
+    meta2 = spark.read.parquet(f"{d2}/meta").toPandas().sort_values("part_id")
+    assert meta1["checksum"].tolist() == meta2["checksum"].tolist()
+
+    cols = ["part_id", "term", "block_id", "n", "first_doc", "last_doc"]
+    s1 = spark.read.parquet(f"{index_dir}/segments").orderBy(*cols).toPandas()
+    s2 = spark.read.parquet(f"{d2}/segments").orderBy(*cols).toPandas()
+    assert len(s1) == len(s2)
+    assert (s1["docs_vb"] == s2["docs_vb"]).all()
+    assert (s1["tfs_vb"] == s2["tfs_vb"]).all()
+    assert (s1["dls_vb"] == s2["dls_vb"]).all()
+    shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_wand_rank_identity(built):
+    spark, docs, index_dir, _, oracle = built
+    idx = load_index(spark, index_dir)
+    idx["segments"] = idx["segments"].cache()
+    for q in reference_queries():
+        golden = oracle.topk(q["query"], k=q["k"], mode=q["mode"])
+        got = [
+            (i + 1, r["doc_id"], r["score"])
+            for i, r in enumerate(
+                wand_topk(idx, q["query"], k=q["k"], mode=q["mode"]).collect()
+            )
+        ]
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in golden], q
+        for (_, _, s_got), (_, _, s_gold) in zip(got, golden):
+            assert s_got == pytest.approx(s_gold, rel=1e-6), q
+
+
+def test_wand_pruning_fires(built):
+    """The hot-term query must NOT decode every block: assert the
+    pruned path returns identical results with a tiny k (prune early)."""
+    spark, docs, index_dir, _, oracle = built
+    idx = load_index(spark, index_dir)
+    golden = oracle.topk("w00000", k=3, mode="or")
+    got = wand_topk(idx, "w00000", k=3, mode="or").collect()
+    assert [(i + 1, r["doc_id"]) for i, r in enumerate(got)] == [
+        (r, d) for r, d, _ in golden
+    ]
