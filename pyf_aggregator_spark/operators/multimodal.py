@@ -1,0 +1,93 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: store the raw payload as an
+opaque `binary` column with typed metadata alongside; decode /
+feature-extract / resize / frame-sample run as Arrow-batched pandas
+functions over ``mapInPandas`` so each batch moves through one Arrow
+exchange (never per-row Python).
+
+The actual codecs (PIL/ffmpeg) are NOT in this container, so the decode
+body is a clearly-marked deterministic stub — the Spark-side plumbing
+(schema, batch shape, partitioning, worker shipping) is real and
+tested. A production deployment swaps ``_decode_stub`` for the codec
+call; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyf_aggregator_spark.registry import load, register
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes int, sha1_8 string, width int, height int, "
+    "n_frames int"
+)
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+    """STUB decoder: deterministic fake (width, height, n_frames)
+    derived from the payload bytes. A real deployment replaces this
+    with e.g. PIL.Image.open(io.BytesIO(payload)).size — the Spark
+    plumbing around it is unchanged. Raises on empty payload like a
+    real decoder would.
+    """
+    if not payload:
+        raise ValueError("empty payload (NotImplementedError stand-in)")
+    n = len(payload)
+    return (n * 7) % 1024 + 1, (n * 13) % 768 + 1, n % 30 + 1
+
+
+def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        payloads = pdf["payload"]
+        meta = [_decode_stub(p) for p in payloads]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_bytes": [len(p) for p in payloads],
+                "sha1_8": [hashlib.sha1(p).hexdigest()[:8] for p in payloads],
+                "width": [m[0] for m in meta],
+                "height": [m[1] for m in meta],
+                "n_frames": [m[2] for m in meta],
+            }
+        )
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-cast as an opaque binary payload column —
+    the fixture standing in for image/audio blobs."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+
+@register(
+    "mm_decode_metadata",
+    """
+    SELECT doc_id,
+           length(text)::INT AS n_bytes,
+           ((length(text) * 7) % 1024 + 1)::INT AS width,
+           ((length(text) * 13) % 768 + 1)::INT AS height,
+           (length(text) % 30 + 1)::INT AS n_frames
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode via mapInPandas (Arrow-batched). The oracle checks
+    the deterministic stub math on byte length; sha1 is exercised in
+    unit tests (DuckDB lacks sha1)."""
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+    decoded = media_table(spark, sf_dir).mapInPandas(
+        _decode_batches, DECODED_SCHEMA
+    )
+    return decoded.select(
+        "doc_id", "n_bytes", "width", "height", "n_frames"
+    ).orderBy("doc_id")

@@ -89,8 +89,10 @@ def _register_operator_modules() -> None:
     exist) to avoid circular imports."""
     import pyf_aggregator_spark.operators.dedup  # noqa: F401
     import pyf_aggregator_spark.operators.fulltext_extra  # noqa: F401
+    import pyf_aggregator_spark.operators.multimodal  # noqa: F401
     import pyf_aggregator_spark.operators.relational  # noqa: F401
     import pyf_aggregator_spark.operators.similarity  # noqa: F401
+    import pyf_aggregator_spark.operators.streaming_queries  # noqa: F401
     import pyf_aggregator_spark.operators.textstats  # noqa: F401
     import pyf_aggregator_spark.operators.transforms_queries  # noqa: F401
 
