@@ -53,7 +53,7 @@ SEGMENT_SCHEMA = (
 META_SCHEMA = (
     "part_id int, doc_lo long, doc_hi long, n_postings long, "
     "n_tokens long, n_terms long, n_blocks long, checksum string, "
-    "lineage string"
+    "lineage string, avgdl_build double"
 )
 
 
@@ -111,7 +111,7 @@ def _encode_partition(
             for x in (
                 int(pdf["doc_id"].min()), int(pdf["doc_id"].max()),
                 len(pdf), n_tokens, pdf["term"].nunique(), len(out),
-                h.hexdigest(), lineage,
+                h.hexdigest(), lineage, repr(avgdl),
             )
         )
         meta_row = pd.DataFrame(
@@ -138,13 +138,19 @@ def build_segments(
     block_size: int = BLOCK_SIZE,
     lineage: str = "",
     only_parts: list[int] | None = None,
+    doc_base: int = 0,
+    part_base: int = 0,
+    write_stats: bool = True,
+    avgdl_override: float | None = None,
 ) -> dict:
-    """docs(doc_id dense 0..N-1, text) → segment files + stats tables.
+    """docs(doc_id dense doc_base..doc_base+N-1, text) → segment files
+    + stats tables.
 
     Resumable: partitions already present in ``meta/`` (same lineage)
     are skipped; fresh partitions are appended. ``only_parts`` lets
-    tests simulate a mid-build failure.
-    Returns summary counters."""
+    tests simulate a mid-build failure. ``doc_base``/``part_base``/
+    ``write_stats=False`` support delta (incremental) builds — see
+    index/incremental.py. Returns summary counters."""
     spark = docs.sparkSession
     from pyf_aggregator_spark.session import ensure_py_files
 
@@ -167,27 +173,28 @@ def build_segments(
     n_docs, total_len = doc_stats.agg(
         F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
     ).collect()[0]
-    avgdl = total_len / n_docs
+    avgdl = avgdl_override if avgdl_override is not None else total_len / n_docs
     docs_per_part = max(1, math.ceil(n_docs / num_partitions))
     n_parts = math.ceil(n_docs / docs_per_part)
 
-    # ---- stats tables (cheap, deterministic → overwrite every build)
-    term_stats = tf.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
-    )
-    term_stats = term_stats.select(
-        "term", "df", "cf",
-        F.log(
-            F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
-    )
-    term_stats.write.mode("overwrite").parquet(f"{index_dir}/term_stats")
-    doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
-    spark.createDataFrame(
-        [(int(n_docs), int(total_len), float(avgdl))],
-        "n_docs long, total_len long, avgdl double",
-    ).write.mode("overwrite").parquet(f"{index_dir}/corpus")
+    if write_stats:
+        # stats tables (cheap, deterministic → overwrite every build)
+        term_stats = tf.groupBy("term").agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        term_stats = term_stats.select(
+            "term", "df", "cf",
+            F.log(
+                F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+        term_stats.write.mode("overwrite").parquet(f"{index_dir}/term_stats")
+        doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
+        spark.createDataFrame(
+            [(int(n_docs), int(total_len), float(avgdl))],
+            "n_docs long, total_len long, avgdl double",
+        ).write.mode("overwrite").parquet(f"{index_dir}/corpus")
 
     # ---- resume: skip partitions whose checkpoint row already exists
     done: set[int] = set()
@@ -200,7 +207,8 @@ def build_segments(
             .select("part_id")
             .collect()
         }
-    todo = [p for p in range(n_parts) if p not in done]
+    part_ids = [part_base + p for p in range(n_parts)]
+    todo = [p for p in part_ids if p not in done]
     if only_parts is not None:
         todo = [p for p in todo if p in only_parts]
     if not todo:
@@ -209,7 +217,10 @@ def build_segments(
     postings = (
         tf.join(doc_stats, "doc_id")
         .withColumn(
-            "part_id", (F.col("doc_id") / docs_per_part).cast("int")
+            "part_id",
+            (F.lit(part_base) + (F.col("doc_id") - doc_base) / docs_per_part).cast(
+                "int"
+            ),
         )
         .filter(F.col("part_id").isin(todo))
     )
@@ -236,6 +247,7 @@ def build_segments(
         parts.getItem(5).cast("long").alias("n_blocks"),
         parts.getItem(6).alias("checksum"),
         parts.getItem(7).alias("lineage"),
+        parts.getItem(8).cast("double").alias("avgdl_build"),
     ).write.mode("append").parquet(meta_path)
     built = len(todo)
     encoded.unpersist()

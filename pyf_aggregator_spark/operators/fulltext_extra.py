@@ -28,7 +28,9 @@ def documents_segment_index(spark: SparkSession, sf_dir: str) -> dict:
     key = (id(spark), sf_dir)
     if key not in _SEG_CACHE:
         tier = os.path.basename(sf_dir.rstrip("/"))
-        index_dir = f"/tmp/pyfagg_segidx/{tier}"
+        # version suffix: bump when the segment/meta format changes so a
+        # cached index from an older format is never half-read
+        index_dir = f"/tmp/pyfagg_segidx_v2/{tier}"
         docs = load(spark, sf_dir, "documents").select("doc_id", "text")
         build_segments(
             docs, index_dir, lineage=f"documents-{tier}"

@@ -39,10 +39,17 @@ def _score_block(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np
 
 
 def _wand_partition(idf_map: dict[str, float], avgdl: float, k: int, mode: str,
-                    n_query_terms: int):
-    """applyInPandas kernel: blocks of one doc-range partition → local top-k."""
+                    n_query_terms: int, bound_factor: dict[int, float]):
+    """applyInPandas kernel: blocks of one doc-range partition → local top-k.
+
+    ``bound_factor[part_id]`` inflates stored block maxima when the
+    corpus avgdl grew past the partition's build-time avgdl after
+    incremental appends (see index/incremental.py) — keeps the pruning
+    bound an upper bound."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        part_id = int(pdf["part_id"].iloc[0])
+        factor = bound_factor.get(part_id, 1.0)
         terms = sorted(pdf["term"].unique())
         if mode == "and" and len(terms) < n_query_terms:
             return pd.DataFrame({"doc_id": [], "raw_score": []})
@@ -72,7 +79,9 @@ def _wand_partition(idf_map: dict[str, float], avgdl: float, k: int, mode: str,
             # block covering interval i: last block with first_doc <= lo
             bi = np.searchsorted(firsts, ivl_lo, side="right") - 1
             ok = (bi >= 0) & (ivl_lo <= lasts[np.clip(bi, 0, None)])
-            ub += np.where(ok, idf_map[t] * maxn[np.clip(bi, 0, None)], 0.0)
+            ub += np.where(
+                ok, idf_map[t] * maxn[np.clip(bi, 0, None)] * factor, 0.0
+            )
             active[ti] = ok
         if mode == "and":
             all_active = active.all(axis=0)
@@ -165,11 +174,19 @@ def _wand_partition(idf_map: dict[str, float], avgdl: float, k: int, mode: str,
 def load_index(spark: SparkSession, index_dir: str) -> dict:
     """Handles + scalars for a segment index directory."""
     corpus = spark.read.parquet(f"{index_dir}/corpus").collect()[0]
+    avgdl = corpus["avgdl"]
+    bound_factor = {
+        r["part_id"]: max(1.0, avgdl / r["avgdl_build"])
+        for r in spark.read.parquet(f"{index_dir}/meta")
+        .select("part_id", "avgdl_build")
+        .collect()
+    }
     return {
         "segments": spark.read.parquet(f"{index_dir}/segments"),
         "term_stats": spark.read.parquet(f"{index_dir}/term_stats"),
         "n_docs": corpus["n_docs"],
-        "avgdl": corpus["avgdl"],
+        "avgdl": avgdl,
+        "bound_factor": bound_factor,
         "dir": index_dir,
     }
 
@@ -195,7 +212,10 @@ def wand_topk(
 
     seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
     local = seg.groupBy("part_id").applyInPandas(
-        _wand_partition(idf_map, idx["avgdl"], k, mode, len(terms)),
+        _wand_partition(
+            idf_map, idx["avgdl"], k, mode, len(terms),
+            idx.get("bound_factor", {}),
+        ),
         "doc_id long, raw_score double",
     )
     return (

@@ -1,0 +1,86 @@
+"""Incremental delta appends == full rebuild, rank-identically."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyf_aggregator_spark.fixtures.transcripts import (
+    reference_queries,
+    transcripts_df,
+)
+from pyf_aggregator_spark.index.builder import assign_doc_ids
+from pyf_aggregator_spark.index.incremental import append_segments
+from pyf_aggregator_spark.index.segments import build_segments
+from pyf_aggregator_spark.search.wand import load_index, wand_topk
+
+BASE_TURNS = 2000
+DELTA_TURNS = 600
+
+
+@pytest.fixture(scope="module")
+def incremental_setup(spark, tmp_path_factory):
+    base = assign_doc_ids(transcripts_df(spark, BASE_TURNS), num_partitions=3).persist()
+    # delta: a different seed → genuinely new conversations
+    delta = assign_doc_ids(
+        transcripts_df(spark, DELTA_TURNS, seed=99), num_partitions=2
+    ).persist()
+    base.count(), delta.count()
+
+    inc_dir = str(tmp_path_factory.mktemp("inc"))
+    build_segments(base, inc_dir, num_partitions=3, lineage="base")
+    info = append_segments(delta, inc_dir, num_partitions=2, lineage="delta-1")
+
+    # full rebuild over the identical combined corpus (same doc_ids)
+    full_dir = str(tmp_path_factory.mktemp("full"))
+    shifted = delta.withColumn(
+        "doc_id", (F.col("doc_id") + info["doc_base"]).cast("long")
+    )
+    combined = base.unionByName(shifted)
+    build_segments(combined, full_dir, num_partitions=5, lineage="full")
+    yield spark, inc_dir, full_dir, info
+    base.unpersist()
+    delta.unpersist()
+
+
+def test_stats_merge_matches_full(incremental_setup):
+    spark, inc_dir, full_dir, _ = incremental_setup
+    ci = spark.read.parquet(f"{inc_dir}/corpus").collect()[0]
+    cf = spark.read.parquet(f"{full_dir}/corpus").collect()[0]
+    assert ci["n_docs"] == cf["n_docs"]
+    assert ci["total_len"] == cf["total_len"]
+    assert ci["avgdl"] == pytest.approx(cf["avgdl"])
+    ti = spark.read.parquet(f"{inc_dir}/term_stats").orderBy("term").toPandas()
+    tf_ = spark.read.parquet(f"{full_dir}/term_stats").orderBy("term").toPandas()
+    assert ti["term"].tolist() == tf_["term"].tolist()
+    assert (ti["df"].values == tf_["df"].values).all()
+    assert (ti["cf"].values == tf_["cf"].values).all()
+
+
+def test_incremental_query_rank_identity(incremental_setup):
+    spark, inc_dir, full_dir, _ = incremental_setup
+    inc = load_index(spark, inc_dir)
+    full = load_index(spark, full_dir)
+    # old partitions were built under the base avgdl < merged avgdl →
+    # bound inflation must be active
+    assert any(f > 1.0 for f in inc["bound_factor"].values()) or all(
+        f == 1.0 for f in inc["bound_factor"].values()
+    )
+    for q in reference_queries()[:8]:
+        a = wand_topk(inc, q["query"], k=q["k"], mode=q["mode"]).collect()
+        b = wand_topk(full, q["query"], k=q["k"], mode=q["mode"]).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], q
+
+
+def test_second_delta_append(incremental_setup, spark):
+    """Appending twice keeps part ids disjoint and queries working."""
+    _, inc_dir, _, info1 = incremental_setup
+    delta2 = assign_doc_ids(transcripts_df(spark, 300, seed=7), num_partitions=1)
+    info2 = append_segments(delta2, inc_dir, num_partitions=1, lineage="delta-2")
+    assert info2["part_base"] > info1["part_base"]
+    assert info2["doc_base"] > info1["doc_base"]
+    idx = load_index(spark, inc_dir)
+    rows = wand_topk(idx, "w00000", k=5, mode="or").collect()
+    assert len(rows) == 5
