@@ -19,11 +19,16 @@ import numpy as np
 _MAX_VBYTES = 10  # ceil(64/7)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """uint64 array → varbyte bytes."""
+def varbyte_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """uint64 array → (varbyte bytes, per-value start offsets incl. end).
+
+    The offsets let a caller slice the encoding of any value range —
+    the segment builder encodes a whole partition in ONE pass and cuts
+    block payloads as byte slices (varbyte is self-delimiting, so the
+    concatenation of per-value encodings equals the whole encoding)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     # bytes needed per value: 1 + floor(bitlen/7) for bitlen>0
     nbytes = np.ones(v.size, dtype=np.int64)
     tmp = v >> np.uint64(7)
@@ -41,7 +46,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = ((nbytes[mask] - 1 > j).astype(np.uint8)) << 7
         out[idx] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """uint64 array → varbyte bytes."""
+    return varbyte_encode_with_offsets(values)[0]
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

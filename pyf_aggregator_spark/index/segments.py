@@ -33,15 +33,14 @@ from __future__ import annotations
 import hashlib
 import math
 import os
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyf_aggregator_spark import B, K1, TOKEN_SEP_RE
-from pyf_aggregator_spark.index.codec import encode_postings, varbyte_encode
+from pyf_aggregator_spark.index.codec import varbyte_encode_with_offsets
 
 BLOCK_SIZE = 128
 
@@ -73,32 +72,62 @@ def _encode_partition(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         part_id = int(pdf["part_id"].iloc[0])
         pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        out: list[tuple] = []
+        n_rows = len(pdf)
+        terms_arr = pdf["term"].to_numpy()
+        ids = pdf["doc_id"].to_numpy(np.uint64)
+        tfs = pdf["tf"].to_numpy(np.uint64)
+        dls = pdf["doc_len"].to_numpy(np.uint64)
+        n_tokens = int(tfs.sum())
+
+        # term run boundaries + fixed-size block cuts inside each run —
+        # all block geometry computed vectorized, then the WHOLE
+        # partition is varbyte-encoded once and block payloads are
+        # byte-offset slices (no per-term Python loop)
+        new_term = np.ones(n_rows, dtype=bool)
+        new_term[1:] = terms_arr[1:] != terms_arr[:-1]
+        run_start_of = np.maximum.accumulate(
+            np.where(new_term, np.arange(n_rows), 0)
+        )
+        in_run_pos = np.arange(n_rows) - run_start_of
+        block_start = new_term | (in_run_pos % block_size == 0)
+        starts = np.flatnonzero(block_start)
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:]
+        ends[-1] = n_rows
+
+        deltas = np.empty_like(ids)
+        deltas[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+        deltas[starts] = ids[starts]  # each block restarts absolute
+
+        docs_bin, docs_off = varbyte_encode_with_offsets(deltas)
+        tfs_bin, tfs_off = varbyte_encode_with_offsets(tfs)
+        dls_bin, dls_off = varbyte_encode_with_offsets(dls)
+        norms = _norm(tfs, dls, avgdl)
+        block_max = np.maximum.reduceat(norms, starts)
+        block_id = (in_run_pos[starts] // block_size).astype(np.int64)
+
         h = hashlib.md5()
-        n_tokens = 0
-        for term, g in pdf.groupby("term", sort=True):
-            ids = g["doc_id"].to_numpy(np.uint64)
-            tfs = g["tf"].to_numpy(np.uint64)
-            dls = g["doc_len"].to_numpy(np.uint64)
-            n_tokens += int(tfs.sum())
-            for bi, lo in enumerate(range(0, len(ids), block_size)):
-                sl = slice(lo, lo + block_size)
-                docs_vb, tfs_vb = encode_postings(ids[sl], tfs[sl])
-                dls_vb = varbyte_encode(dls[sl])
-                max_norm = float(_norm(tfs[sl], dls[sl], avgdl).max())
-                h.update(term.encode())
-                h.update(docs_vb)
-                h.update(tfs_vb)
-                h.update(dls_vb)
-                out.append(
-                    (
-                        part_id, term, bi, int(len(ids[sl])),
-                        int(ids[sl][0]), int(ids[sl][-1]), max_norm,
-                        docs_vb, tfs_vb, dls_vb,
-                    )
+        rows: list[tuple] = []
+        for i in range(len(starts)):
+            s, e = int(starts[i]), int(ends[i])
+            term = terms_arr[s]
+            docs_vb = docs_bin[docs_off[s]:docs_off[e]]
+            tfs_vb = tfs_bin[tfs_off[s]:tfs_off[e]]
+            dls_vb = dls_bin[dls_off[s]:dls_off[e]]
+            h.update(term.encode())
+            h.update(docs_vb)
+            h.update(tfs_vb)
+            h.update(dls_vb)
+            rows.append(
+                (
+                    part_id, term, int(block_id[i]), e - s,
+                    int(ids[s]), int(ids[e - 1]), float(block_max[i]),
+                    docs_vb, tfs_vb, dls_vb,
                 )
+            )
         seg = pd.DataFrame(
-            out,
+            rows,
             columns=[
                 "part_id", "term", "block_id", "n", "first_doc", "last_doc",
                 "max_norm", "docs_vb", "tfs_vb", "dls_vb",
@@ -110,7 +139,7 @@ def _encode_partition(
             str(x)
             for x in (
                 int(pdf["doc_id"].min()), int(pdf["doc_id"].max()),
-                len(pdf), n_tokens, pdf["term"].nunique(), len(out),
+                len(pdf), n_tokens, pdf["term"].nunique(), len(rows),
                 h.hexdigest(), lineage, repr(avgdl),
             )
         )
@@ -163,12 +192,16 @@ def build_segments(
         "doc_id",
         F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
     ).filter(F.col("term") != "")
-    tf = tokens.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+    # tf feeds four downstream passes (corpus agg, term_stats, doc_stats,
+    # posting encode) — cache it so tokenize+explode+agg runs once
+    tf = tokens.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    ).persist()
     doc_stats = (
         base.select("doc_id")
         .join(tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len")), "doc_id", "left")
         .select("doc_id", F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"))
-    )
+    ).persist()
 
     n_docs, total_len = doc_stats.agg(
         F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
@@ -212,6 +245,8 @@ def build_segments(
     if only_parts is not None:
         todo = [p for p in todo if p in only_parts]
     if not todo:
+        tf.unpersist()
+        doc_stats.unpersist()
         return {"n_parts": n_parts, "built": 0, "skipped": len(done)}
 
     postings = (
@@ -251,4 +286,6 @@ def build_segments(
     ).write.mode("append").parquet(meta_path)
     built = len(todo)
     encoded.unpersist()
+    tf.unpersist()
+    doc_stats.unpersist()
     return {"n_parts": n_parts, "built": built, "skipped": len(done)}
