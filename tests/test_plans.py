@@ -1,0 +1,92 @@
+"""Physical-plan audits: the optimizations we design for must actually
+appear in the compiled plan (explain-driven regression guard).
+
+- filter/projection pushdown reaches the parquet scan (PushedFilters /
+  ReadSchema)
+- small-dim joins broadcast (BroadcastHashJoin, no shuffle of the fact)
+- top-k compiles to TakeOrderedAndProject (never a global Sort+Limit)
+- the segment scan prunes on the term IN-filter
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_filter_pushdown_to_scan(spark, sf):
+    df = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark, sf):
+    df = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # unused column pruned
+
+
+def test_dim_join_broadcasts(spark, sf):
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    df = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_topk_is_take_ordered(spark, sf):
+    df = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .orderBy(F.desc("o_totalprice"))
+        .limit(10)
+    )
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_bm25_query_plan_shape(spark, sf):
+    """The single-query plan: term IN-filter pushed to the postings
+    side, idf broadcast, final TakeOrdered."""
+    from pyf_aggregator_spark.registry import documents_index
+    from pyf_aggregator_spark.search.engine import bm25_topk
+
+    index = documents_index(spark, sf)
+    df = bm25_topk(index, "spark vector", k=10, mode="or")
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # idf join never shuffles postings
+
+
+def test_segment_scan_prunes_terms(spark, tmp_path):
+    """Term IN-filter reaches the segment parquet scan as PushedFilters."""
+    from pyf_aggregator_spark.fixtures.transcripts import transcripts_df
+    from pyf_aggregator_spark.index.builder import assign_doc_ids
+    from pyf_aggregator_spark.index.segments import build_segments
+
+    d = str(tmp_path / "planidx")
+    docs = assign_doc_ids(transcripts_df(spark, 500), num_partitions=2)
+    build_segments(docs, d, num_partitions=2)
+    seg = spark.read.parquet(f"{d}/segments").filter(
+        F.col("term").isin(["w00000", "w00001"])
+    )
+    plan = plan_of(seg)
+    assert "PushedFilters" in plan
+    assert "term" in plan.split("PushedFilters")[1][:300]
