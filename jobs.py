@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Cluster job entry points — run via spark-submit --py-files.
+
+    spark-submit --py-files /tmp/pyf_aggregator_spark_pyfiles_<pid>.zip \\
+        jobs.py build  --input <transcripts_parquet> --index-dir <dir>
+    spark-submit ... jobs.py append --input <delta_parquet> --index-dir <dir>
+    spark-submit ... jobs.py query  --index-dir <dir> --query "w1 w2" \\
+        [--mode and|or] [--k 10]
+    spark-submit ... jobs.py query-batch --index-dir <dir> --queries <parquet>
+
+On a cluster the package zip is built locally by
+``pyf_aggregator_spark.session.ensure_py_files`` (or `python -m zipfile`)
+and passed with --py-files; running `python jobs.py ...` locally works
+too (ensure_py_files ships the zip to the local workers).
+
+Each job prints one JSON line with counters; exit code 0 on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True, help="transcripts parquet/table")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--partitions", type=int, default=None)
+    b.add_argument("--lineage", default="build-v1")
+
+    a = sub.add_parser("append")
+    a.add_argument("--input", required=True, help="delta transcripts parquet")
+    a.add_argument("--index-dir", required=True)
+    a.add_argument("--partitions", type=int, default=None)
+    a.add_argument("--lineage", default="delta-v1")
+
+    q = sub.add_parser("query")
+    q.add_argument("--index-dir", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--mode", default="or", choices=["or", "and"])
+    q.add_argument("--k", type=int, default=10)
+
+    qb = sub.add_parser("query-batch")
+    qb.add_argument("--index-dir", required=True)
+    qb.add_argument(
+        "--queries", required=True,
+        help="parquet with (query_id, query, mode, k)",
+    )
+    qb.add_argument("--output", default=None, help="result parquet path")
+
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from pyf_aggregator_spark.index.builder import assign_doc_ids
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    # under spark-submit the session already exists; standalone we build one
+    spark = SparkSession.builder.getOrCreate()
+    ensure_py_files(spark)
+    t0 = time.monotonic()
+
+    if args.cmd == "build":
+        from pyf_aggregator_spark.index.segments import build_segments
+
+        docs = assign_doc_ids(
+            spark.read.parquet(args.input), num_partitions=args.partitions
+        )
+        docs.select("doc_id", "conv_id", "turn_idx").write.mode(
+            "overwrite"
+        ).parquet(f"{args.index_dir}/doc_map")
+        stats = build_segments(
+            docs.select("doc_id", "text"),
+            args.index_dir,
+            num_partitions=args.partitions,
+            lineage=args.lineage,
+        )
+        out = {**stats, "cmd": "build", "sec": round(time.monotonic() - t0, 2)}
+
+    elif args.cmd == "append":
+        from pyf_aggregator_spark.index.incremental import append_segments
+
+        delta = assign_doc_ids(
+            spark.read.parquet(args.input), num_partitions=args.partitions
+        )
+        info = append_segments(
+            delta.select("doc_id", "text"),
+            args.index_dir,
+            num_partitions=args.partitions,
+            lineage=args.lineage,
+        )
+        out = {**info, "cmd": "append", "sec": round(time.monotonic() - t0, 2)}
+
+    elif args.cmd == "query":
+        from pyf_aggregator_spark.search.wand import load_index, wand_topk
+
+        idx = load_index(spark, args.index_dir)
+        rows = wand_topk(idx, args.query, k=args.k, mode=args.mode).collect()
+        out = {
+            "cmd": "query",
+            "hits": [(r["doc_id"], r["score"]) for r in rows],
+            "sec": round(time.monotonic() - t0, 2),
+        }
+
+    else:  # query-batch
+        from pyf_aggregator_spark.search.wand import load_index, wand_topk
+
+        idx = load_index(spark, args.index_dir)
+        idx["segments"] = idx["segments"].cache()
+        qs = spark.read.parquet(args.queries).collect()
+        results = []
+        for q in qs:
+            for rank, r in enumerate(
+                wand_topk(
+                    idx, q["query"], k=q["k"] or 10, mode=q["mode"] or "or"
+                ).collect()
+            ):
+                results.append((q["query_id"], rank + 1, r["doc_id"], r["score"]))
+        rdf = spark.createDataFrame(
+            results, "query_id string, rank int, doc_id long, score double"
+        )
+        if args.output:
+            rdf.write.mode("overwrite").parquet(args.output)
+        out = {
+            "cmd": "query-batch",
+            "n_queries": len(qs),
+            "n_rows": len(results),
+            "sec": round(time.monotonic() - t0, 2),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,29 @@ def transcripts_df(spark: SparkSession, n_turns: int, seed: int = SEED) -> DataF
     return spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
 
 
+def bench_query_set(n: int = 200, seed: int = 7) -> list[dict]:
+    """Seeded synthetic query workload for THROUGHPUT measurement (the
+    15-query reference set stays the correctness gate; 200 queries let
+    per-job scheduling cost amortize so q/s reflects engine capacity)."""
+    rng = np.random.default_rng(seed)
+    probs = _zipf_probs(VOCAB_SIZE, ZIPF_S)
+    qs = []
+    for i in range(n):
+        n_terms = int(rng.integers(1, 4))
+        terms = [
+            f"w{int(t):05d}" for t in rng.choice(VOCAB_SIZE, n_terms, p=probs)
+        ]
+        qs.append(
+            {
+                "query_id": f"b{i:04d}",
+                "query": " ".join(terms),
+                "mode": "and" if rng.random() < 0.4 else "or",
+                "k": 10,
+            }
+        )
+    return qs
+
+
 def reference_queries() -> list[dict]:
     """The fixed reference query set (FIXTURES.md §2)."""
     qs: list[dict] = []

@@ -23,7 +23,6 @@ exact.
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 

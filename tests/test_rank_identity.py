@@ -10,7 +10,6 @@ from __future__ import annotations
 import pytest
 
 from pyf_aggregator_spark.fixtures.transcripts import (
-    generate_transcripts,
     reference_queries,
     transcripts_df,
 )

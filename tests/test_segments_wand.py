@@ -5,8 +5,6 @@ from __future__ import annotations
 import shutil
 
 import pytest
-from pyspark.sql import functions as F
-
 from pyf_aggregator_spark.fixtures.transcripts import (
     reference_queries,
     transcripts_df,

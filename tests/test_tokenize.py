@@ -5,8 +5,6 @@ Semantics from the reference's token_separators (db.py:241).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from pyf_aggregator_spark.functions.tokenize import tokenize_col, tokenize_py
 
 CASES = [
