@@ -1,0 +1,68 @@
+"""Registry entries for C5/C6 (description split) and C7 (badges)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyf_aggregator_spark.functions.description_split import (
+    is_badge_url,
+    split_description_udf,
+)
+from pyf_aggregator_spark.registry import register
+
+_MD_DOCS = [
+    (1, "# Pkg One\nfirst chapter.\n## Usage\nuse it.\n## Changelog\n- 1.0\n", "sum one"),
+    (2, "Title\n=====\nbody\n\nHistory\n-------\nold\n", ""),
+    (3, "plain prose only", "short summary"),
+    (4, "# OnlyTitle\n", None),
+]
+
+_URLS = [
+    (1, "https://img.shields.io/pypi/v/x.svg"),
+    (2, "https://travis-ci.org/o/r.svg?branch=main"),
+    (3, "https://example.com/screenshot.png"),
+    (4, "https://codecov.io/gh/o/r/badge.svg"),
+    (5, "https://raw.githubusercontent.com/o/r/main/docs/ui.png"),
+]
+
+_BADGE_RE_SQL = (
+    "(?i)(shields\\.io|badge|travis-ci|circleci|codecov|coveralls"
+    "|readthedocs\\.(io|org)/projects/.*/badge|appveyor|/workflows/.*/badge)"
+)
+
+
+@register("c5c6_description_split", None)  # HTML-family: golden-tested, rows-only
+def c5c6_description_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5+C6: markdown-ish description → weighted search fields
+    {title, first_chapter, main_content, changelog} via an Arrow-batched
+    pandas UDF (rst_to_html.py + description_splitter.py analog)."""
+    df = spark.createDataFrame(_MD_DOCS, "id int, description string, summary string")
+    return (
+        df.select(
+            "id", split_description_udf("description", "summary").alias("s")
+        )
+        .select("id", "s.title", "s.first_chapter", "s.main_content", "s.changelog")
+        .orderBy("id")
+    )
+
+
+@register(
+    "c7_badge_detection",
+    f"""
+    SELECT * FROM (VALUES
+      (1, 'https://img.shields.io/pypi/v/x.svg'),
+      (2, 'https://travis-ci.org/o/r.svg?branch=main'),
+      (3, 'https://example.com/screenshot.png'),
+      (4, 'https://codecov.io/gh/o/r/badge.svg'),
+      (5, 'https://raw.githubusercontent.com/o/r/main/docs/ui.png')
+    ) AS t(id, url)
+    WHERE NOT regexp_matches(url, '{_BADGE_RE_SQL}')
+    ORDER BY id
+    """,
+)
+def c7_badge_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: keep real screenshots = drop badge URLs
+    (screenshot_detector.py:18-43; the min-width image fetch stubbed)."""
+    df = spark.createDataFrame(_URLS, "id int, url string")
+    return df.filter(~is_badge_url("url")).orderBy("id")

@@ -88,6 +88,7 @@ def _register_operator_modules() -> None:
     Called at the bottom of this module (after REGISTRY/register/load
     exist) to avoid circular imports."""
     import pyf_aggregator_spark.operators.dedup  # noqa: F401
+    import pyf_aggregator_spark.operators.description_queries  # noqa: F401
     import pyf_aggregator_spark.operators.fulltext_extra  # noqa: F401
     import pyf_aggregator_spark.operators.multimodal  # noqa: F401
     import pyf_aggregator_spark.operators.relational  # noqa: F401
