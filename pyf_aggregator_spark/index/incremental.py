@@ -44,6 +44,33 @@ def _swap_write(df: DataFrame, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def delete_docs(
+    spark: SparkSession, index_dir: str, doc_ids: DataFrame | list[int]
+) -> int:
+    """K3 delete-by-filter (db.py:349-375 analog): tombstone the docIDs.
+
+    Segment files stay immutable (the Lucene deletes model): doc_ids
+    land in ``tombstones/`` and the query path anti-joins them out.
+    BM25 stats intentionally keep the deleted docs until the next full
+    rebuild/compaction (T5) — same drift semantics as Lucene deletes.
+    Returns the number of newly tombstoned ids."""
+    if isinstance(doc_ids, list):
+        df = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    else:
+        df = doc_ids.select(F.col("doc_id").cast("long"))
+    df = df.distinct()
+    n = df.count()
+    df.write.mode("append").parquet(f"{index_dir}/tombstones")
+    return n
+
+
+def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    path = f"{index_dir}/tombstones"
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path).distinct()
+
+
 def append_segments(
     delta_docs: DataFrame,
     index_dir: str,

@@ -94,3 +94,37 @@ def j5_topk_hydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "score", "lang", "n_chars")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+@register(
+    "ft_grouped_search_top1_per_lang",
+    f"""
+    WITH topk AS ({osql.bm25_topk_sql("spark vector window", 100, "or").strip()})
+    SELECT lang, doc_id, score FROM (
+      SELECT d.lang, t.doc_id, t.score,
+             row_number() OVER (
+               PARTITION BY d.lang ORDER BY t.score DESC, t.doc_id ASC
+             ) AS rn
+      FROM topk t JOIN documents d USING (doc_id)
+    ) WHERE rn = 1
+    ORDER BY lang
+    """,
+)
+def ft_grouped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 group_by + group_limit 1 combined with ranking: best hit per
+    facet group (db.py:266-290's grouped search) — window top-1 over the
+    scored candidates."""
+    from pyspark.sql import Window
+
+    topk = bm25_topk(
+        documents_index(spark, sf_dir), "spark vector window", k=100, mode="or"
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        topk.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "doc_id", "score")
+        .orderBy("lang")
+    )

@@ -39,7 +39,8 @@ def _score_block(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np
 
 
 def _wand_partition(idf_map: dict[str, float], avgdl: float, k: int, mode: str,
-                    n_query_terms: int, bound_factor: dict[int, float]):
+                    n_query_terms: int, bound_factor: dict[int, float],
+                    tombstones: frozenset[int] = frozenset()):
     """applyInPandas kernel: blocks of one doc-range partition → local top-k.
 
     ``bound_factor[part_id]`` inflates stored block maxima when the
@@ -144,6 +145,11 @@ def _wand_partition(idf_map: dict[str, float], avgdl: float, k: int, mode: str,
             else:
                 hit = nmatch > 0
             offs = np.flatnonzero(hit)
+            if tombstones and offs.size:
+                # K3 deletes: drop BEFORE heap admission so live docs
+                # below a tombstoned one still make the top-k
+                alive = ~np.isin(offs + lo, np.fromiter(tombstones, np.int64))
+                offs = offs[alive]
             if len(heap) >= k and offs.size:
                 # vectorized pre-filter: only rounding-≥θ candidates can
                 # enter the heap (equal can still win on doc_id)
@@ -181,12 +187,15 @@ def load_index(spark: SparkSession, index_dir: str) -> dict:
         .select("part_id", "avgdl_build")
         .collect()
     }
+    from pyf_aggregator_spark.index.incremental import load_tombstones
+
     return {
         "segments": spark.read.parquet(f"{index_dir}/segments"),
         "term_stats": spark.read.parquet(f"{index_dir}/term_stats"),
         "n_docs": corpus["n_docs"],
         "avgdl": avgdl,
         "bound_factor": bound_factor,
+        "tombstones": load_tombstones(spark, index_dir),
         "dir": index_dir,
     }
 
@@ -210,11 +219,19 @@ def wand_topk(
     if not idf_map or (mode == "and" and len(idf_map) < len(terms)):
         return spark.createDataFrame([], "doc_id long, score double")
 
+    # K3 deletes: tombstones filter inside the kernel (pre-heap). The
+    # collected set is fine at moderate delete volumes; at 10^12 scale
+    # this becomes a per-partition bitmap shipped like bound_factor.
+    tomb = idx.get("tombstones")
+    tomb_set = (
+        frozenset(r["doc_id"] for r in tomb.collect()) if tomb is not None
+        else frozenset()
+    )
     seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
     local = seg.groupBy("part_id").applyInPandas(
         _wand_partition(
             idf_map, idx["avgdl"], k, mode, len(terms),
-            idx.get("bound_factor", {}),
+            idx.get("bound_factor", {}), tomb_set,
         ),
         "doc_id long, raw_score double",
     )

@@ -84,3 +84,24 @@ def test_second_delta_append(incremental_setup, spark):
     idx = load_index(spark, inc_dir)
     rows = wand_topk(idx, "w00000", k=5, mode="or").collect()
     assert len(rows) == 5
+
+
+def test_delete_docs_tombstones(incremental_setup, spark):
+    """K3: deleted docs vanish from top-k and live docs below them
+    surface (pre-heap filtering, not post-top-k)."""
+    from pyf_aggregator_spark.index.incremental import delete_docs
+
+    _, _, full_dir, _ = incremental_setup
+    idx = load_index(spark, full_dir)
+    before = wand_topk(idx, "w00000", k=5, mode="or").collect()
+    assert len(before) == 5
+    victims = [r["doc_id"] for r in before[:2]]
+    n = delete_docs(spark, full_dir, victims)
+    assert n == 2
+    idx2 = load_index(spark, full_dir)
+    after = wand_topk(idx2, "w00000", k=5, mode="or").collect()
+    got = [r["doc_id"] for r in after]
+    assert len(after) == 5  # live docs refill the k slots
+    assert not set(victims) & set(got)
+    # the previously 3rd-5th docs move up to ranks 1-3
+    assert got[:3] == [r["doc_id"] for r in before[2:5]]
