@@ -27,8 +27,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return bm25_topk(index, "spark vector window", k=20, mode="or")
 
 
+def _shipped(fn: Callable) -> Callable:
+    """Ship the package zip to Python workers before any query runs —
+    UDF/applyInPandas kernels are unpickled by module reference, and the
+    driver may invoke us from any working directory."""
+
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyf_aggregator_spark.session import ensure_py_files
+
+        ensure_py_files(spark)
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: _shipped(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

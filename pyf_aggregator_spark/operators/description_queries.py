@@ -37,6 +37,9 @@ def c5c6_description_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5+C6: markdown-ish description → weighted search fields
     {title, first_chapter, main_content, changelog} via an Arrow-batched
     pandas UDF (rst_to_html.py + description_splitter.py analog)."""
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    ensure_py_files(spark)  # the UDF body imports this package on workers
     df = spark.createDataFrame(_MD_DOCS, "id int, description string, summary string")
     return (
         df.select(
