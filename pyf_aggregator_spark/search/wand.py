@@ -38,140 +38,181 @@ def _score_block(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np
     )
 
 
+_Q = 10**SCORE_DECIMALS
+
+
+def _rnd(x):
+    return np.round(np.asarray(x, dtype=np.float64) * _Q) / _Q
+
+
+class _PartitionBlocks:
+    """Per-partition decode state shared across queries in a batch."""
+
+    def __init__(self, pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float):
+        self.idf_map = idf_map
+        self.avgdl = avgdl
+        self.per_term = {
+            t: g.sort_values("first_doc") for t, g in pdf.groupby("term")
+        }
+        self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    def postings(self, t: str) -> tuple[np.ndarray, np.ndarray]:
+        if t not in self._decoded:
+            g = self.per_term[t]
+            ids_all, scores_all = [], []
+            for _, r in g.iterrows():
+                ids, tfs = decode_postings(r["docs_vb"], r["tfs_vb"])
+                dls = varbyte_decode(r["dls_vb"])
+                ids_all.append(ids.astype(np.int64))
+                scores_all.append(
+                    _score_block(tfs, dls, self.idf_map[t], self.avgdl)
+                )
+            self._decoded[t] = (
+                np.concatenate(ids_all),
+                np.concatenate(scores_all),
+            )
+        return self._decoded[t]
+
+
+def _topk_one_query(
+    blocks: _PartitionBlocks,
+    terms: list[str],
+    k: int,
+    mode: str,
+    n_query_terms: int,
+    factor: float,
+    tombstones: frozenset[int],
+) -> list[tuple[int, float]]:
+    """Interval-granular block-max WAND over one partition's blocks.
+
+    Heap/prune decisions use ROUNDED scores: the global rank is
+    (round(score,4) desc, doc_id asc), so a raw-score heap could keep
+    the wrong doc among rounding-equal ties. Pruning is safe because
+    round is monotone: round(ub) < θ ⟹ round(s) < θ ∀ s ≤ ub."""
+    terms = [t for t in terms if t in blocks.per_term]
+    if not terms or (mode == "and" and len(terms) < n_query_terms):
+        return []
+    idf_map = blocks.idf_map
+
+    bounds = set()
+    for t in terms:
+        g = blocks.per_term[t]
+        bounds.update(g["first_doc"].tolist())
+        bounds.update((g["last_doc"] + 1).tolist())
+    edges = np.array(sorted(bounds), dtype=np.int64)
+    if len(edges) < 2:
+        return []
+    ivl_lo, ivl_hi = edges[:-1], edges[1:] - 1  # inclusive doc ranges
+
+    # upper bound per interval = Σ idf_t · max_norm of the covering block
+    n_ivl = len(ivl_lo)
+    ub = np.zeros(n_ivl, dtype=np.float64)
+    active = np.zeros((len(terms), n_ivl), dtype=bool)
+    for ti, t in enumerate(terms):
+        g = blocks.per_term[t]
+        firsts = g["first_doc"].to_numpy(np.int64)
+        lasts = g["last_doc"].to_numpy(np.int64)
+        maxn = g["max_norm"].to_numpy(np.float64)
+        bi = np.searchsorted(firsts, ivl_lo, side="right") - 1
+        ok = (bi >= 0) & (ivl_lo <= lasts[np.clip(bi, 0, None)])
+        ub += np.where(ok, idf_map[t] * maxn[np.clip(bi, 0, None)] * factor, 0.0)
+        active[ti] = ok
+    if mode == "and":
+        ub = np.where(active.all(axis=0), ub, 0.0)
+
+    order = np.argsort(-ub, kind="mergesort")
+    heap: list[tuple[float, int, float]] = []  # (round_score, -doc_id, raw)
+    theta = -np.inf
+    for i in order:
+        if ub[i] <= 0.0:
+            break
+        if len(heap) >= k and float(_rnd(ub[i])) < theta:
+            break  # ub desc ⟹ every remaining interval rounds below θ
+        lo, hi = int(ivl_lo[i]), int(ivl_hi[i])
+        width = hi - lo + 1
+        acc = np.zeros(width, dtype=np.float64)
+        nmatch = np.zeros(width, dtype=np.int32)
+        for ti, t in enumerate(terms):
+            if not active[ti, i]:
+                continue
+            ids, sc = blocks.postings(t)
+            a = np.searchsorted(ids, lo, side="left")
+            b_ = np.searchsorted(ids, hi, side="right")
+            if a == b_:
+                continue
+            off = ids[a:b_] - lo
+            acc[off] += sc[a:b_]
+            nmatch[off] += 1
+        hit = (nmatch == n_query_terms) if mode == "and" else (nmatch > 0)
+        offs = np.flatnonzero(hit)
+        if tombstones and offs.size:
+            # K3 deletes: drop BEFORE heap admission so live docs below
+            # a tombstoned one still make the top-k
+            alive = ~np.isin(offs + lo, np.fromiter(tombstones, np.int64))
+            offs = offs[alive]
+        if len(heap) >= k and offs.size:
+            # vectorized pre-filter: only rounding-≥θ candidates can
+            # enter the heap (equal can still win on doc_id)
+            offs = offs[_rnd(acc[offs]) >= theta]
+        for off in offs:
+            raw = float(acc[off])
+            d = lo + int(off)
+            item = (float(_rnd(raw)), -d, raw)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+                if len(heap) == k:
+                    theta = heap[0][0]
+            elif item[:2] > heap[0][:2]:
+                heapq.heapreplace(heap, item)
+                theta = heap[0][0]
+    return [(-d, raw) for _, d, raw in heap]
+
+
 def _wand_partition(idf_map: dict[str, float], avgdl: float, k: int, mode: str,
                     n_query_terms: int, bound_factor: dict[int, float],
                     tombstones: frozenset[int] = frozenset()):
-    """applyInPandas kernel: blocks of one doc-range partition → local top-k.
+    """applyInPandas kernel: blocks of one doc-range partition → local
+    top-k. ``bound_factor[part_id]`` inflates stored block maxima when
+    the corpus avgdl grew past the partition's build-time avgdl after
+    incremental appends (see index/incremental.py)."""
 
-    ``bound_factor[part_id]`` inflates stored block maxima when the
-    corpus avgdl grew past the partition's build-time avgdl after
-    incremental appends (see index/incremental.py) — keeps the pruning
-    bound an upper bound."""
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        part_id = int(pdf["part_id"].iloc[0])
+        blocks = _PartitionBlocks(pdf, idf_map, avgdl)
+        hits = _topk_one_query(
+            blocks, sorted(idf_map), k, mode, n_query_terms,
+            bound_factor.get(part_id, 1.0), tombstones,
+        )
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in hits], "raw_score": [s for _, s in hits]}
+        )
+
+    return fn
+
+
+def _wand_partition_batch(
+    queries: list[dict], idf_map: dict[str, float], avgdl: float,
+    bound_factor: dict[int, float], tombstones: frozenset[int],
+):
+    """Batch kernel: ALL queries against one partition's blocks — block
+    decodes shared across queries (the q/s capacity path)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         part_id = int(pdf["part_id"].iloc[0])
         factor = bound_factor.get(part_id, 1.0)
-        terms = sorted(pdf["term"].unique())
-        if mode == "and" and len(terms) < n_query_terms:
-            return pd.DataFrame({"doc_id": [], "raw_score": []})
-
-        # per-term block tables, sorted by first_doc
-        per_term = {}
-        bounds = set()
-        for t in terms:
-            g = pdf[pdf["term"] == t].sort_values("first_doc")
-            per_term[t] = g
-            bounds.update(g["first_doc"].tolist())
-            bounds.update((g["last_doc"] + 1).tolist())
-        edges = np.array(sorted(bounds), dtype=np.int64)
-        if len(edges) < 2:
-            return pd.DataFrame({"doc_id": [], "raw_score": []})
-        ivl_lo, ivl_hi = edges[:-1], edges[1:] - 1  # inclusive doc ranges
-
-        # upper bound per interval = Σ idf_t · max_norm of covering block
-        n_ivl = len(ivl_lo)
-        ub = np.zeros(n_ivl, dtype=np.float64)
-        active = np.zeros((len(terms), n_ivl), dtype=bool)
-        for ti, t in enumerate(terms):
-            g = per_term[t]
-            firsts = g["first_doc"].to_numpy(np.int64)
-            lasts = g["last_doc"].to_numpy(np.int64)
-            maxn = g["max_norm"].to_numpy(np.float64)
-            # block covering interval i: last block with first_doc <= lo
-            bi = np.searchsorted(firsts, ivl_lo, side="right") - 1
-            ok = (bi >= 0) & (ivl_lo <= lasts[np.clip(bi, 0, None)])
-            ub += np.where(
-                ok, idf_map[t] * maxn[np.clip(bi, 0, None)] * factor, 0.0
+        blocks = _PartitionBlocks(pdf, idf_map, avgdl)
+        out_q, out_d, out_s = [], [], []
+        for q in queries:
+            hits = _topk_one_query(
+                blocks, q["terms"], q["k"], q["mode"], q["n_terms"],
+                factor, tombstones,
             )
-            active[ti] = ok
-        if mode == "and":
-            all_active = active.all(axis=0)
-            ub = np.where(all_active, ub, 0.0)
-
-        # Heap/prune decisions use ROUNDED scores: the global rank is
-        # (round(score,4) desc, doc_id asc), so a raw-score heap could
-        # keep the wrong doc among rounding-equal ties. Pruning is safe
-        # because round is monotone: round(ub) < θ ⟹ round(s) < θ for
-        # every s ≤ ub in the interval.
-        q = 10**SCORE_DECIMALS
-        rnd = lambda x: np.round(np.asarray(x, dtype=np.float64) * q) / q  # noqa: E731
-        order = np.argsort(-ub, kind="mergesort")
-        heap: list[tuple[float, int, float]] = []  # (round_score, -doc_id, raw)
-        theta = -np.inf
-
-        # decode cache per term
-        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-
-        def term_postings(t: str) -> tuple[np.ndarray, np.ndarray]:
-            if t not in decoded:
-                g = per_term[t]
-                ids_all, scores_all = [], []
-                for _, r in g.iterrows():
-                    ids, tfs = decode_postings(r["docs_vb"], r["tfs_vb"])
-                    dls = varbyte_decode(r["dls_vb"])
-                    ids_all.append(ids.astype(np.int64))
-                    scores_all.append(
-                        _score_block(tfs, dls, idf_map[t], avgdl)
-                    )
-                decoded[t] = (
-                    np.concatenate(ids_all),
-                    np.concatenate(scores_all),
-                )
-            return decoded[t]
-
-        for i in order:
-            if ub[i] <= 0.0:
-                break
-            if len(heap) >= k and float(rnd(ub[i])) < theta:
-                break  # ub desc ⟹ every remaining interval rounds below θ
-            lo, hi = int(ivl_lo[i]), int(ivl_hi[i])
-            # exact-score docs in [lo, hi]
-            width = hi - lo + 1
-            acc = np.zeros(width, dtype=np.float64)
-            nmatch = np.zeros(width, dtype=np.int32)
-            for ti, t in enumerate(terms):
-                if not active[ti, i]:
-                    continue
-                ids, sc = term_postings(t)
-                a = np.searchsorted(ids, lo, side="left")
-                b_ = np.searchsorted(ids, hi, side="right")
-                if a == b_:
-                    continue
-                off = ids[a:b_] - lo
-                acc[off] += sc[a:b_]
-                nmatch[off] += 1
-            if mode == "and":
-                hit = nmatch == n_query_terms
-            else:
-                hit = nmatch > 0
-            offs = np.flatnonzero(hit)
-            if tombstones and offs.size:
-                # K3 deletes: drop BEFORE heap admission so live docs
-                # below a tombstoned one still make the top-k
-                alive = ~np.isin(offs + lo, np.fromiter(tombstones, np.int64))
-                offs = offs[alive]
-            if len(heap) >= k and offs.size:
-                # vectorized pre-filter: only rounding-≥θ candidates can
-                # enter the heap (equal can still win on doc_id)
-                offs = offs[rnd(acc[offs]) >= theta]
-            for off in offs:
-                raw = float(acc[off])
-                d = lo + int(off)
-                item = (float(rnd(raw)), -d, raw)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                    if len(heap) == k:
-                        theta = heap[0][0]
-                elif item[:2] > heap[0][:2]:
-                    heapq.heapreplace(heap, item)
-                    theta = heap[0][0]
-        if not heap:
-            return pd.DataFrame({"doc_id": [], "raw_score": []})
+            for d, s in hits:
+                out_q.append(q["query_id"])
+                out_d.append(d)
+                out_s.append(s)
         return pd.DataFrame(
-            {
-                "doc_id": [-d for _, d, _ in heap],
-                "raw_score": [raw for _, _, raw in heap],
-            }
+            {"query_id": out_q, "doc_id": out_d, "raw_score": out_s}
         )
 
     return fn
@@ -241,4 +282,77 @@ def wand_topk(
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def wand_topk_batch(idx: dict, queries: list[dict]) -> DataFrame:
+    """Batch segment-path execution: [{query_id, query, mode, k}] →
+    DataFrame(query_id, rank, doc_id, score), ONE Spark job for the
+    whole set. The segment scan filters on the union of all query terms
+    (pushed down), each partition answers every query against its
+    blocks with shared decodes, and a per-query window takes the final
+    top-k."""
+    from pyspark.sql import Window
+
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    spark = idx["segments"].sparkSession
+    ensure_py_files(spark)
+
+    all_terms = sorted(
+        {t for q in queries for t in set(tokenize_py(q["query"]))}
+    )
+    idf_rows = (
+        idx["term_stats"]
+        .filter(F.col("term").isin(all_terms))
+        .select("term", "idf")
+        .collect()
+    )
+    idf_map = {r["term"]: r["idf"] for r in idf_rows}
+    qspec = []
+    for q in queries:
+        terms = sorted(set(tokenize_py(q["query"])))
+        present = [t for t in terms if t in idf_map]
+        if not present or (q["mode"] == "and" and len(present) < len(terms)):
+            continue  # zero-hit by construction
+        qspec.append(
+            {
+                "query_id": q["query_id"],
+                "terms": present,
+                "mode": q["mode"],
+                "k": q.get("k", 10),
+                "n_terms": len(terms),
+            }
+        )
+    if not qspec:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id long, score double"
+        )
+    tomb = idx.get("tombstones")
+    tomb_set = (
+        frozenset(r["doc_id"] for r in tomb.collect()) if tomb is not None
+        else frozenset()
+    )
+    seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
+    local = seg.groupBy("part_id").applyInPandas(
+        _wand_partition_batch(
+            qspec, idf_map, idx["avgdl"], idx.get("bound_factor", {}), tomb_set
+        ),
+        "query_id string, doc_id long, raw_score double",
+    )
+    ks = spark.createDataFrame(
+        [(q["query_id"], q["k"]) for q in qspec], "query_id string, k int"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        local.select(
+            "query_id", "doc_id",
+            F.round("raw_score", SCORE_DECIMALS).alias("score"),
+        )
+        .join(F.broadcast(ks), "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
     )

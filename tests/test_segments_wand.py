@@ -103,3 +103,18 @@ def test_wand_pruning_fires(built):
     assert [(i + 1, r["doc_id"]) for i, r in enumerate(got)] == [
         (r, d) for r, d, _ in golden
     ]
+
+
+def test_wand_batch_matches_oracle(built, spark):
+    from pyf_aggregator_spark.search.wand import wand_topk_batch
+
+    _, _, index_dir, _, oracle = built
+    idx = load_index(spark, index_dir)
+    qs = reference_queries()
+    batch = wand_topk_batch(idx, qs).toPandas()
+    for q in qs:
+        golden = oracle.topk(q["query"], k=q["k"], mode=q["mode"])
+        sub = batch[batch["query_id"] == q["query_id"]].sort_values("rank")
+        assert list(zip(sub["rank"], sub["doc_id"])) == [
+            (r, d) for r, d, _ in golden
+        ], q
