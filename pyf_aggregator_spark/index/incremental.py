@@ -173,3 +173,160 @@ def append_segments(
         "n_delta_docs": int(n_delta),
         "avgdl": float(avgdl_new),
     }
+
+
+def compact(spark: SparkSession, index_dir: str, num_partitions: int | None = None) -> dict:
+    """T5 reconciliation/compaction: rebuild the index FROM ITSELF,
+    physically dropping tombstoned postings and recomputing stats
+    (df/cf/doc_len/N/avgdl/idf) over the surviving corpus — the analog
+    of the reference's periodic full refresh (queue.py:776-986) and the
+    versioned-collection swap (typesense_util.py:174-319).
+
+    The index is self-contained: segments decode back to (term, doc_id,
+    tf, doc_len) without the original corpus. Output replaces the index
+    dirs atomically (write-new + dir swap)."""
+    import pandas as pd
+
+    from pyf_aggregator_spark.index.codec import decode_postings, varbyte_decode
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+    seg = spark.read.parquet(f"{index_dir}/segments")
+    tomb = load_tombstones(spark, index_dir)
+    tomb_set = (
+        frozenset(r["doc_id"] for r in tomb.collect()) if tomb is not None
+        else frozenset()
+    )
+
+    def decode_rows(it):
+        import numpy as np
+
+        for pdf in it:
+            outs = []
+            for _, r in pdf.iterrows():
+                ids, tfs = decode_postings(r["docs_vb"], r["tfs_vb"])
+                dls = varbyte_decode(r["dls_vb"])
+                keep = np.ones(len(ids), dtype=bool)
+                if tomb_set:
+                    keep = ~np.isin(
+                        ids.astype(np.int64), np.fromiter(tomb_set, np.int64)
+                    )
+                if not keep.any():
+                    continue
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": r["term"],
+                            "doc_id": ids[keep].astype("int64"),
+                            "tf": tfs[keep].astype("int64"),
+                            "doc_len": dls[keep].astype("int64"),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {"term": pd.Series(dtype=str),
+                     "doc_id": pd.Series(dtype="int64"),
+                     "tf": pd.Series(dtype="int64"),
+                     "doc_len": pd.Series(dtype="int64")}
+                )
+            )
+
+    postings = seg.mapInPandas(
+        decode_rows, "term string, doc_id long, tf long, doc_len long"
+    )
+    # reconstruct a pseudo-docs frame: build_segments only needs
+    # (doc_id, text) to tokenize — here we already HAVE tf, so rebuild
+    # via a synthetic text of repeated terms would be wasteful; instead
+    # write postings to a staging dir and rebuild directly.
+    staging = index_dir + "__compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    postings.write.mode("overwrite").parquet(f"{staging}/postings_src")
+    built = build_segments_from_postings(
+        spark, f"{staging}/postings_src", staging, num_partitions
+    )
+    # atomic-ish swap of the whole index dir
+    old = index_dir + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_dir, old)
+    os.rename(staging, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return built
+
+
+def build_segments_from_postings(
+    spark: SparkSession, postings_path: str, index_dir: str,
+    num_partitions: int | None = None, lineage: str = "compact",
+) -> dict:
+    """Segment build variant whose input is already (term, doc_id, tf,
+    doc_len) rows — used by compaction. Shares the partition encoder
+    with the tokenizing build."""
+    import math
+
+    from pyf_aggregator_spark.index.segments import (
+        SEGMENT_SCHEMA,
+        _encode_partition,
+    )
+
+    tf = spark.read.parquet(postings_path).persist()
+    doc_stats = tf.select("doc_id", "doc_len").distinct().persist()
+    n_docs, total_len = doc_stats.agg(
+        F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
+    ).collect()[0]
+    avgdl = total_len / n_docs
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    # compaction renumbers partitions over the surviving doc range
+    max_doc = tf.agg(F.max("doc_id")).collect()[0][0]
+    docs_per_part = max(1, math.ceil((max_doc + 1) / num_partitions))
+
+    term_stats = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"),
+             F.sum("tf").cast("long").alias("cf"))
+        .select(
+            "term", "df", "cf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    term_stats.write.mode("overwrite").parquet(f"{index_dir}/term_stats")
+    doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
+    spark.createDataFrame(
+        [(int(n_docs), int(total_len), float(avgdl))],
+        "n_docs long, total_len long, avgdl double",
+    ).write.mode("overwrite").parquet(f"{index_dir}/corpus")
+
+    encoded = (
+        tf.withColumn("part_id", (F.col("doc_id") / docs_per_part).cast("int"))
+        .groupBy("part_id")
+        .applyInPandas(_encode_partition(avgdl, 128, lineage), SEGMENT_SCHEMA)
+        .persist()
+    )
+    encoded.filter(F.col("block_id") >= 0).write.mode("overwrite").partitionBy(
+        "part_id"
+    ).parquet(f"{index_dir}/segments")
+    parts = F.split("payload", r"\|")
+    encoded.filter(F.col("block_id") == -1).select(
+        "part_id", F.col("term").alias("payload")
+    ).select(
+        "part_id",
+        parts.getItem(0).cast("long").alias("doc_lo"),
+        parts.getItem(1).cast("long").alias("doc_hi"),
+        parts.getItem(2).cast("long").alias("n_postings"),
+        parts.getItem(3).cast("long").alias("n_tokens"),
+        parts.getItem(4).cast("long").alias("n_terms"),
+        parts.getItem(5).cast("long").alias("n_blocks"),
+        parts.getItem(6).alias("checksum"),
+        parts.getItem(7).alias("lineage"),
+        parts.getItem(8).cast("double").alias("avgdl_build"),
+    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    n_parts = encoded.filter(F.col("block_id") == -1).count()
+    encoded.unpersist()
+    tf.unpersist()
+    doc_stats.unpersist()
+    return {"n_parts": int(n_parts), "n_docs": int(n_docs)}

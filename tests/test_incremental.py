@@ -105,3 +105,37 @@ def test_delete_docs_tombstones(incremental_setup, spark):
     assert not set(victims) & set(got)
     # the previously 3rd-5th docs move up to ranks 1-3
     assert got[:3] == [r["doc_id"] for r in before[2:5]]
+
+
+def test_compact_equals_rebuild_without_deleted(spark, tmp_path):
+    """T5: delete + compact == fresh build over the surviving corpus
+    (scores recomputed over surviving stats, tombstones gone)."""
+    from pyf_aggregator_spark.index.incremental import compact, delete_docs
+
+    a = assign_doc_ids(transcripts_df(spark, 1200), num_partitions=2).persist()
+    b = assign_doc_ids(transcripts_df(spark, 400, seed=3), num_partitions=2)
+    n_a = a.count()
+    combined = a.unionByName(
+        b.withColumn("doc_id", (b.doc_id + n_a).cast("long"))
+    )
+
+    d_both = str(tmp_path / "both")
+    build_segments(combined, d_both, num_partitions=3, lineage="both")
+    delete_docs(spark, d_both, list(range(n_a, n_a + b.count())))
+    info = compact(spark, d_both, num_partitions=3)
+    assert info["n_docs"] == n_a
+
+    d_a = str(tmp_path / "aonly")
+    build_segments(a, d_a, num_partitions=3, lineage="aonly")
+
+    ia, ic = load_index(spark, d_a), load_index(spark, d_both)
+    assert ic["tombstones"] is None  # physically gone
+    assert ia["n_docs"] == ic["n_docs"]
+    assert ia["avgdl"] == pytest.approx(ic["avgdl"])
+    for q in reference_queries()[:6]:
+        ra = wand_topk(ia, q["query"], k=q["k"], mode=q["mode"]).collect()
+        rc = wand_topk(ic, q["query"], k=q["k"], mode=q["mode"]).collect()
+        assert [(r["doc_id"], r["score"]) for r in ra] == [
+            (r["doc_id"], r["score"]) for r in rc
+        ], q
+    a.unpersist()
