@@ -105,6 +105,27 @@ def main() -> None:
     extras["turns_indexed_per_sec"] = n_docs / timings["build_segments"]
     extras["seg_turns_per_sec"] = extras["turns_indexed_per_sec"]
 
+    if os.environ.get("BENCH_BUILD_ONLY") == "1":
+        # scaling levels at very large corpora measure only the headline
+        # build phase (query phases are measured in the full-bench pairs)
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        total = sum(timings.values())
+        out = {
+            "metric": "total_bench_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf,
+            "master": spark.sparkContext.master,
+            "cores": cores,
+            "queries_per_sec": 0.0,
+            "wand_queries_per_sec": 0.0,
+            **{k: round(v, 3) for k, v in extras.items()},
+        }
+        spark.stop()
+        print(json.dumps(out))
+        return
+
     # ---- query-side prep: the in-memory DataFrame tables (impact-ready
     # postings cache) — separate from the durable build
     t0 = time.monotonic()

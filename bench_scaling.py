@@ -30,12 +30,14 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_level(master: str, sf_dir: str, turns: int) -> dict:
+def run_level(master: str, sf_dir: str, turns: int, build_only: bool = False) -> dict:
     cmd = [
         sys.executable, os.path.join(HERE, "bench.py"),
         "--master", master, "--sf-dir", sf_dir, "--turns", str(turns),
     ]
     env = {**os.environ, "BENCH_BUILD_REPEATS": "2"}  # min-of-2: CPU-steal noise
+    if build_only:
+        env["BENCH_BUILD_ONLY"] = "1"
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=3000, check=True, env=env
     )
@@ -44,6 +46,8 @@ def run_level(master: str, sf_dir: str, turns: int) -> dict:
 
 def pair_report(name: str, small: dict, big: dict, factor: int) -> dict:
     def eff(metric: str) -> float:
+        if not small.get(metric):
+            return 0.0
         return round((big[metric] / small[metric]) / factor, 3)
 
     return {
@@ -62,11 +66,14 @@ def pair_report(name: str, small: dict, big: dict, factor: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    # primary: N=1 → 4N=4 cores (inside the sandbox's scaling regime)
+    # primary: N=1 → 4N=4 cores (inside the sandbox's scaling regime);
+    # build-only at a large corpus so fixed per-job latency (~16 s,
+    # measured) amortizes and the measurement reflects engine capacity
+    turns_small = int(os.environ.get("SCALE_TURNS_SMALL", 1_000_000))
     p1 = pair_report(
-        "local[1] → local[4]",
-        run_level("local[1]", sf_dir, int(os.environ.get("SCALE_TURNS_SMALL", 150_000))),
-        run_level("local[4]", sf_dir, int(os.environ.get("SCALE_TURNS_SMALL", 150_000))),
+        "local[1] → local[4] (build-only)",
+        run_level("local[1]", sf_dir, turns_small, build_only=True),
+        run_level("local[4]", sf_dir, turns_small, build_only=True),
         4,
     )
     # secondary: local[8] → local[32] (driver's example pair; ceiling-bound)
