@@ -149,7 +149,9 @@ shape scales on partition count.
   (the allocation-free arithmetic control shows the same ceiling).
 """
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
-    with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as f:
+    # raw per-run report; BENCH/BASELINE.md is the curated multi-run
+    # summary and is maintained by hand from these
+    with open(os.path.join(HERE, "BENCH", "SCALING_RUN.md"), "w") as f:
         f.write(md)
     print(
         json.dumps(
