@@ -128,3 +128,33 @@ def ft_grouped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "score")
         .orderBy("lang")
     )
+
+
+_BATCH_QUERIES = [
+    {"query_id": "bq1", "query": "spark vector", "mode": "or", "k": 10},
+    {"query_id": "bq2", "query": "spark vector window", "mode": "and", "k": 10},
+    {"query_id": "bq3", "query": "dup", "mode": "or", "k": 10},
+]
+
+
+def _batch_oracle_sql() -> str:
+    parts = []
+    for q in _BATCH_QUERIES:
+        inner = osql.bm25_topk_sql(q["query"], q["k"], q["mode"]).strip()
+        parts.append(
+            f"SELECT '{q['query_id']}' AS query_id, "
+            f"row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, "
+            f"doc_id, score FROM ({inner})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("ft_wand_batch", _batch_oracle_sql())
+def ft_wand_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched segment-path execution: the whole query set in ONE Spark
+    job (shared block decodes per partition) — the q/s capacity path."""
+    from pyf_aggregator_spark.search.wand import wand_topk_batch
+
+    return wand_topk_batch(
+        documents_segment_index(spark, sf_dir), _BATCH_QUERIES
+    ).orderBy("query_id", "rank")

@@ -90,6 +90,7 @@ def _register_operator_modules() -> None:
     import pyf_aggregator_spark.operators.dedup  # noqa: F401
     import pyf_aggregator_spark.operators.description_queries  # noqa: F401
     import pyf_aggregator_spark.operators.fulltext_extra  # noqa: F401
+    import pyf_aggregator_spark.operators.json_queries  # noqa: F401
     import pyf_aggregator_spark.operators.multimodal  # noqa: F401
     import pyf_aggregator_spark.operators.relational  # noqa: F401
     import pyf_aggregator_spark.operators.similarity  # noqa: F401
