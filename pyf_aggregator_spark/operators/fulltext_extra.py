@@ -158,3 +158,37 @@ def ft_wand_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand_topk_batch(
         documents_segment_index(spark, sf_dir), _BATCH_QUERIES
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "ft_filtered_search",
+    f"""
+    WITH scored AS ({osql.bm25_topk_sql("spark vector", 10_000_000, "or").strip()})
+    SELECT s.doc_id, s.score, d.lang
+    FROM scored s JOIN documents d USING (doc_id)
+    WHERE d.lang = 'en'
+    ORDER BY s.score DESC, s.doc_id ASC
+    LIMIT 15
+    """,
+)
+def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 q + filter_by combined (db.py:266-290): score with GLOBAL
+    corpus stats (Typesense semantics — the filter narrows candidates,
+    not the statistics), filter, then top-k. The filter is a broadcast
+    semi-join on the scored set."""
+    from pyf_aggregator_spark.search.engine import SCORE_DECIMALS, _scored
+    from pyf_aggregator_spark.functions.tokenize import tokenize_py
+
+    idx = documents_index(spark, sf_dir)
+    # full scored set WITHOUT a giant TakeOrdered (top-k comes after the
+    # filter); scores rounded identically to bm25_topk
+    scored = _scored(idx, tokenize_py("spark vector")).select(
+        "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score")
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        scored.join(F.broadcast(docs.filter(F.col("lang") == "en")), "doc_id")
+        .select("doc_id", "score", "lang")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+    )
