@@ -85,7 +85,7 @@ def main() -> None:
     # ---- build (HEADLINE: turns-indexed/sec): the durable index artifact
     # — docID assignment + compressed segment files + stats tables.
     # min-of-N repeats: this sandbox shows heavy run-to-run CPU steal.
-    repeats = int(os.environ.get("BENCH_BUILD_REPEATS", "1"))
+    repeats = int(os.environ.get("BENCH_BUILD_REPEATS", "2"))
     best = None
     for rep in range(max(1, repeats)):
         rep_dir = tempfile.mkdtemp(prefix="pyfagg_bench_seg_")
