@@ -31,10 +31,21 @@ def documents_segment_index(spark: SparkSession, sf_dir: str) -> dict:
         # version suffix: bump when the segment/meta format changes so a
         # cached index from an older format is never half-read
         index_dir = f"/tmp/pyfagg_segidx_v2/{tier}"
-        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-        build_segments(
-            docs, index_dir, lineage=f"documents-{tier}"
-        )  # no-op when checkpoints exist
+        if not os.path.exists(f"{index_dir}/meta"):
+            # build in a process-unique staging dir, publish via rename —
+            # concurrent driver processes can't interleave half-built
+            # parquet under the shared path
+            staging = f"{index_dir}__pid{os.getpid()}"
+            docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+            build_segments(docs, staging, lineage=f"documents-{tier}")
+            os.makedirs(os.path.dirname(index_dir), exist_ok=True)
+            try:
+                os.rename(staging, index_dir)
+            except OSError:
+                # another process published first — use theirs
+                import shutil
+
+                shutil.rmtree(staging, ignore_errors=True)
         idx = load_index(spark, index_dir)
         idx["segments"] = idx["segments"].cache()
         _SEG_CACHE[key] = idx
