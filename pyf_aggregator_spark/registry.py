@@ -94,6 +94,7 @@ def _register_operator_modules() -> None:
     import pyf_aggregator_spark.operators.multimodal  # noqa: F401
     import pyf_aggregator_spark.operators.relational  # noqa: F401
     import pyf_aggregator_spark.operators.similarity  # noqa: F401
+    import pyf_aggregator_spark.operators.skew  # noqa: F401
     import pyf_aggregator_spark.operators.streaming_queries  # noqa: F401
     import pyf_aggregator_spark.operators.textstats  # noqa: F401
     import pyf_aggregator_spark.operators.transforms_queries  # noqa: F401
