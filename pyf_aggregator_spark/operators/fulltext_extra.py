@@ -203,3 +203,31 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+@register(
+    "ft_search_facets",
+    f"""
+    WITH scored AS ({osql.bm25_topk_sql("spark vector", 10_000_000, "or").strip()})
+    SELECT d.lang AS facet_value, count(*) AS n
+    FROM scored s JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    ORDER BY n DESC, facet_value
+    """,
+)
+def ft_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 facet_counts over a query's hit set (Typesense returns
+    per-facet counts alongside hits): facet the matching docs, not the
+    whole collection."""
+    from pyf_aggregator_spark.functions.tokenize import tokenize_py
+    from pyf_aggregator_spark.search.engine import _scored
+
+    idx = documents_index(spark, sf_dir)
+    hits = _scored(idx, tokenize_py("spark vector")).select("doc_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        hits.join(docs, "doc_id")
+        .groupBy(F.col("lang").alias("facet_value"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "facet_value")
+    )
