@@ -81,11 +81,19 @@ def append_segments(
     + merged stats. Returns counters incl. the docID base used."""
     spark: SparkSession = delta_docs.sparkSession
     meta = spark.read.parquet(f"{index_dir}/meta")
-    agg = meta.agg(
-        F.max("part_id").alias("max_part"), F.max("doc_hi").alias("max_doc")
-    ).collect()[0]
-    part_base = int(agg["max_part"]) + 1
-    doc_base = int(agg["max_doc"]) + 1
+    part_base = int(meta.agg(F.max("part_id")).collect()[0][0]) + 1
+    # doc_base comes from doc_stats, not meta doc_hi: meta only covers
+    # docs WITH postings, so token-less docs at the top of the existing
+    # id range would otherwise collide with delta ids (two distinct docs
+    # sharing an id merges their postings). doc_stats carries every doc.
+    doc_base = (
+        int(
+            spark.read.parquet(f"{index_dir}/doc_stats")
+            .agg(F.max("doc_id"))
+            .collect()[0][0]
+        )
+        + 1
+    )
 
     corpus_old = spark.read.parquet(f"{index_dir}/corpus").collect()[0]
 
@@ -244,8 +252,20 @@ def compact(spark: SparkSession, index_dir: str, num_partitions: int | None = No
     staging = index_dir + "__compact"
     shutil.rmtree(staging, ignore_errors=True)
     postings.write.mode("overwrite").parquet(f"{staging}/postings_src")
+    # doc_stats carries forward from the OLD table (minus tombstones),
+    # not from surviving postings: token-less docs have no postings and
+    # would silently vanish, drifting n_docs/avgdl/idf vs a fresh build
+    # over the same corpus (and shrinking the doc_base watermark).
+    surviving = spark.read.parquet(f"{index_dir}/doc_stats")
+    if tomb is not None:
+        surviving = surviving.join(tomb, "doc_id", "left_anti")
+    surviving.write.mode("overwrite").parquet(f"{staging}/doc_stats_src")
     built = build_segments_from_postings(
-        spark, f"{staging}/postings_src", staging, num_partitions
+        spark,
+        f"{staging}/postings_src",
+        staging,
+        num_partitions,
+        doc_stats_path=f"{staging}/doc_stats_src",
     )
     # atomic-ish swap of the whole index dir
     old = index_dir + "__old"
@@ -259,10 +279,13 @@ def compact(spark: SparkSession, index_dir: str, num_partitions: int | None = No
 def build_segments_from_postings(
     spark: SparkSession, postings_path: str, index_dir: str,
     num_partitions: int | None = None, lineage: str = "compact",
+    doc_stats_path: str | None = None,
 ) -> dict:
     """Segment build variant whose input is already (term, doc_id, tf,
     doc_len) rows — used by compaction. Shares the partition encoder
-    with the tokenizing build."""
+    with the tokenizing build. ``doc_stats_path``, when given, is the
+    authoritative per-doc table (it includes zero-posting docs that the
+    postings alone can't reconstruct)."""
     import math
 
     from pyf_aggregator_spark.index.segments import (
@@ -271,7 +294,12 @@ def build_segments_from_postings(
     )
 
     tf = spark.read.parquet(postings_path).persist()
-    doc_stats = tf.select("doc_id", "doc_len").distinct().persist()
+    if doc_stats_path is not None:
+        doc_stats = spark.read.parquet(doc_stats_path).select(
+            "doc_id", "doc_len"
+        ).persist()
+    else:
+        doc_stats = tf.select("doc_id", "doc_len").distinct().persist()
     n_docs, total_len = doc_stats.agg(
         F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
     ).collect()[0]
@@ -279,7 +307,7 @@ def build_segments_from_postings(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     # compaction renumbers partitions over the surviving doc range
-    max_doc = tf.agg(F.max("doc_id")).collect()[0][0]
+    max_doc = doc_stats.agg(F.max("doc_id")).collect()[0][0]
     docs_per_part = max(1, math.ceil((max_doc + 1) / num_partitions))
 
     term_stats = (

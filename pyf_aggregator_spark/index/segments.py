@@ -231,19 +231,26 @@ def build_segments(
 
     # ---- resume: skip partitions whose checkpoint row already exists
     done: set[int] = set()
+    committed: set[int] = set()  # parts with a meta row under ANY lineage
     meta_path = f"{index_dir}/meta"
     if os.path.exists(meta_path):
-        done = {
-            r["part_id"]
-            for r in spark.read.parquet(meta_path)
-            .filter(F.col("lineage") == lineage)
-            .select("part_id")
-            .collect()
-        }
+        meta_rows = spark.read.parquet(meta_path).select("part_id", "lineage").collect()
+        committed = {r["part_id"] for r in meta_rows}
+        done = {r["part_id"] for r in meta_rows if r["lineage"] == lineage}
     part_ids = [part_base + p for p in range(n_parts)]
     todo = [p for p in part_ids if p not in done]
     if only_parts is not None:
         todo = [p for p in todo if p in only_parts]
+    # reconcile: the commit point is the meta row (written AFTER segment
+    # rows). A crash between the two writes leaves orphaned segment
+    # blocks for partitions with no meta row; appending again would
+    # duplicate their postings — drop the orphans before rebuilding.
+    import shutil as _shutil
+
+    for p in todo:
+        orphan = f"{index_dir}/segments/part_id={p}"
+        if p not in committed and os.path.exists(orphan):
+            _shutil.rmtree(orphan, ignore_errors=True)
     if not todo:
         tf.unpersist()
         doc_stats.unpersist()

@@ -71,10 +71,10 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_decode_metadata",
     """
     SELECT doc_id,
-           length(text)::INT AS n_bytes,
-           ((length(text) * 7) % 1024 + 1)::INT AS width,
-           ((length(text) * 13) % 768 + 1)::INT AS height,
-           (length(text) % 30 + 1)::INT AS n_frames
+           strlen(text)::INT AS n_bytes,
+           ((strlen(text) * 7) % 1024 + 1)::INT AS width,
+           ((strlen(text) * 13) % 768 + 1)::INT AS height,
+           (strlen(text) % 30 + 1)::INT AS n_frames
     FROM documents ORDER BY doc_id
     """,
 )

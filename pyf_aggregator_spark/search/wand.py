@@ -42,7 +42,31 @@ _Q = 10**SCORE_DECIMALS
 
 
 def _rnd(x):
-    return np.round(np.asarray(x, dtype=np.float64) * _Q) / _Q
+    """Round to SCORE_DECIMALS exactly like Spark's F.round (HALF_UP on
+    the shortest decimal representation of the double — BigDecimal
+    semantics). The heap/prune decisions must agree with the final
+    F.round ranking or a doc tied at theta could be pre-filtered out.
+
+    Fast path: floor(x·1e4 + 0.5) (half away from zero for the
+    non-negative BM25 scores). Values within 1e-9 of a .5 boundary fall
+    back to decimal.Decimal over repr(x), which matches Java's
+    BigDecimal.valueOf(double) digit-for-digit."""
+    x = np.asarray(x, dtype=np.float64)
+    scaled = x * _Q
+    out = np.floor(scaled + 0.5) / _Q
+    frac = scaled - np.floor(scaled)
+    near = np.abs(frac - 0.5) < 1e-9
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-SCORE_DECIMALS)
+        flat = out.reshape(-1)
+        xs = x.reshape(-1)
+        for i in np.flatnonzero(near.reshape(-1)):
+            flat[i] = float(
+                Decimal(repr(float(xs[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return out
 
 
 class _PartitionBlocks:

@@ -61,11 +61,20 @@ def test_incremental_query_rank_identity(incremental_setup):
     spark, inc_dir, full_dir, _ = incremental_setup
     inc = load_index(spark, inc_dir)
     full = load_index(spark, full_dir)
-    # old partitions were built under the base avgdl < merged avgdl →
-    # bound inflation must be active
-    assert any(f > 1.0 for f in inc["bound_factor"].values()) or all(
-        f == 1.0 for f in inc["bound_factor"].values()
-    )
+    # bound inflation must equal max(1, avgdl_now / avgdl_build) per
+    # partition, and be strictly active on pre-append partitions whose
+    # build-time avgdl differs from the merged one
+    avgdl_now = spark.read.parquet(f"{inc_dir}/corpus").collect()[0]["avgdl"]
+    meta = spark.read.parquet(f"{inc_dir}/meta").collect()
+    assert len(meta) > 0
+    for r in meta:
+        expected = max(1.0, avgdl_now / r["avgdl_build"])
+        assert inc["bound_factor"][r["part_id"]] == pytest.approx(expected), r
+    base_parts = [r for r in meta if r["lineage"] == "base"]
+    assert base_parts
+    grew = [r for r in base_parts if avgdl_now > r["avgdl_build"]]
+    for r in grew:
+        assert inc["bound_factor"][r["part_id"]] > 1.0
     for q in reference_queries()[:8]:
         a = wand_topk(inc, q["query"], k=q["k"], mode=q["mode"]).collect()
         b = wand_topk(full, q["query"], k=q["k"], mode=q["mode"]).collect()
@@ -105,6 +114,70 @@ def test_delete_docs_tombstones(incremental_setup, spark):
     assert not set(victims) & set(got)
     # the previously 3rd-5th docs move up to ranks 1-3
     assert got[:3] == [r["doc_id"] for r in before[2:5]]
+
+
+def test_append_after_tokenless_tail_docs(spark, tmp_path):
+    """Token-less docs at the TOP of the existing id range still own
+    their ids: delta doc_base derives from doc_stats (every doc), not
+    meta doc_hi (only docs with postings) — otherwise two distinct docs
+    share an id and their postings merge."""
+    base = assign_doc_ids(transcripts_df(spark, 400), num_partitions=2)
+    n = base.count()
+    extra = spark.createDataFrame(
+        [(n, ""), (n + 1, " .-_ ")], "doc_id long, text string"
+    )
+    base_all = base.select("doc_id", "text").unionByName(extra)
+    d = str(tmp_path / "idx")
+    build_segments(base_all, d, num_partitions=2, lineage="b")
+    delta = assign_doc_ids(transcripts_df(spark, 100, seed=5), num_partitions=1)
+    info = append_segments(delta, d, num_partitions=1, lineage="d")
+    assert info["doc_base"] == n + 2
+    c = spark.read.parquet(f"{d}/corpus").collect()[0]
+    assert c["n_docs"] == n + 2 + delta.count()
+
+
+def test_resume_reconciles_orphan_segments(spark, tmp_path):
+    """A crash between the segment append and the meta commit leaves
+    orphaned blocks; resume must drop and rebuild them, not append a
+    second copy (which would double every accumulated score)."""
+    import shutil
+
+    docs = assign_doc_ids(transcripts_df(spark, 800), num_partitions=2)
+    docs = docs.persist()
+    docs.count()
+    d_ref = str(tmp_path / "ref")
+    build_segments(docs, d_ref, num_partitions=2, lineage="x")
+    d = str(tmp_path / "crash")
+    build_segments(docs, d, num_partitions=2, lineage="x", only_parts=[0])
+    # simulate the torn write: part 1's segment rows on disk, no meta row
+    shutil.copytree(f"{d_ref}/segments/part_id=1", f"{d}/segments/part_id=1")
+    build_segments(docs, d, num_partitions=2, lineage="x")  # resume
+    ia, ib = load_index(spark, d_ref), load_index(spark, d)
+    for q in reference_queries()[:4]:
+        ra = wand_topk(ia, q["query"], k=q["k"], mode=q["mode"]).collect()
+        rb = wand_topk(ib, q["query"], k=q["k"], mode=q["mode"]).collect()
+        assert [(r["doc_id"], r["score"]) for r in ra] == [
+            (r["doc_id"], r["score"]) for r in rb
+        ], q
+    docs.unpersist()
+
+
+def test_compact_preserves_tokenless_docs(spark, tmp_path):
+    """Compaction carries doc_stats forward: zero-posting docs keep
+    their rows so n_docs/avgdl/idf match a fresh build (no drift)."""
+    from pyf_aggregator_spark.index.incremental import compact, delete_docs
+
+    base = assign_doc_ids(transcripts_df(spark, 400), num_partitions=2)
+    n = base.count()
+    extra = spark.createDataFrame([(n, "")], "doc_id long, text string")
+    all_docs = base.select("doc_id", "text").unionByName(extra)
+    d = str(tmp_path / "cz")
+    build_segments(all_docs, d, num_partitions=2, lineage="b")
+    delete_docs(spark, d, [0])
+    info = compact(spark, d, num_partitions=2)
+    assert info["n_docs"] == n  # n+1 docs minus 1 deleted, INCL. the empty one
+    ds = spark.read.parquet(f"{d}/doc_stats")
+    assert ds.filter(F.col("doc_id") == n).count() == 1
 
 
 def test_compact_equals_rebuild_without_deleted(spark, tmp_path):
