@@ -201,33 +201,20 @@ def compact(spark: SparkSession, index_dir: str, num_partitions: int | None = No
     ensure_py_files(spark)
     seg = spark.read.parquet(f"{index_dir}/segments")
     tomb = load_tombstones(spark, index_dir)
-    tomb_set = (
-        frozenset(r["doc_id"] for r in tomb.collect()) if tomb is not None
-        else frozenset()
-    )
 
     def decode_rows(it):
-        import numpy as np
-
         for pdf in it:
             outs = []
-            for _, r in pdf.iterrows():
-                ids, tfs = decode_postings(r["docs_vb"], r["tfs_vb"])
-                dls = varbyte_decode(r["dls_vb"])
-                keep = np.ones(len(ids), dtype=bool)
-                if tomb_set:
-                    keep = ~np.isin(
-                        ids.astype(np.int64), np.fromiter(tomb_set, np.int64)
-                    )
-                if not keep.any():
-                    continue
+            for r in pdf.itertuples(index=False):
+                ids, tfs = decode_postings(r.docs_vb, r.tfs_vb)
+                dls = varbyte_decode(r.dls_vb)
                 outs.append(
                     pd.DataFrame(
                         {
-                            "term": r["term"],
-                            "doc_id": ids[keep].astype("int64"),
-                            "tf": tfs[keep].astype("int64"),
-                            "doc_len": dls[keep].astype("int64"),
+                            "term": r.term,
+                            "doc_id": ids.astype("int64"),
+                            "tf": tfs.astype("int64"),
+                            "doc_len": dls.astype("int64"),
                         }
                     )
                 )
@@ -245,6 +232,10 @@ def compact(spark: SparkSession, index_dir: str, num_partitions: int | None = No
     postings = seg.mapInPandas(
         decode_rows, "term string, doc_id long, tf long, doc_len long"
     )
+    if tomb is not None:
+        # distributed delete: anti-join beats shipping a collected set
+        # into every decode task (tombstone volume scales with churn)
+        postings = postings.join(tomb, "doc_id", "left_anti")
     # reconstruct a pseudo-docs frame: build_segments only needs
     # (doc_id, text) to tokenize — here we already HAVE tf, so rebuild
     # via a synthetic text of repeated terms would be wasteful; instead

@@ -162,6 +162,29 @@ def test_resume_reconciles_orphan_segments(spark, tmp_path):
     docs.unpersist()
 
 
+def test_tombstones_at_volume_no_driver_set(spark, tmp_path):
+    """10^5 tombstones ship as sentinel rows through the partition
+    shuffle (no driver-side frozenset in the task closure); top-k stays
+    correct with live docs refilling the slots."""
+    from pyf_aggregator_spark.index.incremental import delete_docs
+
+    docs = assign_doc_ids(transcripts_df(spark, 800), num_partitions=2)
+    d = str(tmp_path / "vol")
+    build_segments(docs, d, num_partitions=2, lineage="v")
+    idx0 = load_index(spark, d)
+    before = wand_topk(idx0, "w00000", k=5, mode="or").collect()
+    assert len(before) == 5
+    victims = {r["doc_id"] for r in before[:2]}
+    n_docs = idx0["n_docs"]
+    ids = sorted(victims | set(range(n_docs, n_docs + 100_000)))
+    assert delete_docs(spark, d, ids) == len(ids)
+    idx = load_index(spark, d)
+    after = wand_topk(idx, "w00000", k=5, mode="or").collect()
+    got = [r["doc_id"] for r in after]
+    assert not victims & set(got)
+    assert got[:3] == [r["doc_id"] for r in before[2:5]]
+
+
 def test_compact_preserves_tokenless_docs(spark, tmp_path):
     """Compaction carries doc_stats forward: zero-posting docs keep
     their rows so n_docs/avgdl/idf match a fresh build (no drift)."""
