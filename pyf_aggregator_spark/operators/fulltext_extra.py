@@ -185,8 +185,13 @@ def ft_wand_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 q + filter_by combined (db.py:266-290): score with GLOBAL
     corpus stats (Typesense semantics — the filter narrows candidates,
-    not the statistics), filter, then top-k. The filter is a broadcast
-    semi-join on the scored set."""
+    not the statistics), filter, then top-k.
+
+    No broadcast hint on the filtered corpus side: it's a constant
+    FRACTION of the corpus, so forcing a broadcast OOMs at scale
+    (VERDICT r1). The doc_id equi-join shuffles both sides on the join
+    key (or AQE picks a broadcast at runtime when the side really is
+    small); top-k stays a TakeOrdered."""
     from pyf_aggregator_spark.search.engine import SCORE_DECIMALS, _scored
     from pyf_aggregator_spark.functions.tokenize import tokenize_py
 
@@ -198,11 +203,37 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     return (
-        scored.join(F.broadcast(docs.filter(F.col("lang") == "en")), "doc_id")
+        scored.join(docs.filter(F.col("lang") == "en"), "doc_id")
         .select("doc_id", "score", "lang")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+@register(
+    "ft_wand_filtered",
+    f"""
+    WITH scored AS ({osql.bm25_topk_sql("spark vector", 10_000_000, "or").strip()})
+    SELECT s.doc_id, s.score
+    FROM scored s JOIN documents d USING (doc_id)
+    WHERE d.lang = 'en'
+    ORDER BY s.score DESC, s.doc_id ASC
+    LIMIT 15
+    """,
+)
+def ft_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-path filtered search: the filter_by predicate's doc set
+    is pushed INTO the block-max WAND kernel (pre-heap membership via
+    partition-local sentinel rows), so each partition emits the
+    filtered top-k directly — the scale path for §2.8 filtered
+    queries."""
+    idx = documents_segment_index(spark, sf_dir)
+    allowed = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    return wand_topk(idx, "spark vector", k=15, mode="or", allowed=allowed)
 
 
 @register(

@@ -31,6 +31,14 @@ from pyf_aggregator_spark.index.codec import decode_postings, varbyte_decode
 from pyf_aggregator_spark.search.engine import SCORE_DECIMALS
 
 
+def _sorted_member(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Vectorized membership of needles in a SORTED int64 haystack."""
+    pos = np.searchsorted(haystack, needles)
+    return (pos < haystack.size) & (
+        haystack[np.clip(pos, 0, haystack.size - 1)] == needles
+    )
+
+
 def _score_block(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
     tf = tf.astype(np.float64)
     return idf * (tf * (K1 + 1.0)) / (
@@ -99,18 +107,37 @@ class _PartitionBlocks:
 
 
 TOMBSTONE_BLOCK_ID = -2
+ALLOWED_BLOCK_ID = -3
 
 
-def _split_tombstones(pdf: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray]:
-    """Split tombstone sentinel rows (block_id == -2, doc_id carried in
-    first_doc) out of a partition's kernel input. Tombstones ship to
-    their owning partition through the same shuffle as the blocks — no
-    driver-side set, no closure bloat (VERDICT r1 'what's wrong' #2)."""
-    mask = pdf["block_id"].to_numpy() == TOMBSTONE_BLOCK_ID
-    if not mask.any():
-        return pdf, np.empty(0, dtype=np.int64)
-    tomb_ids = np.unique(pdf.loc[mask, "first_doc"].to_numpy(np.int64))
-    return pdf.loc[~mask], tomb_ids
+def _split_tombstones(
+    pdf: pd.DataFrame,
+) -> tuple[pd.DataFrame, np.ndarray, np.ndarray | None]:
+    """Split sentinel rows out of a partition's kernel input: tombstones
+    (block_id == -2) and the filtered-search allow-set (block_id == -3),
+    each carrying its doc_id in first_doc. Both ship to their owning
+    partition through the same shuffle as the blocks — no driver-side
+    set, no closure bloat (VERDICT r1 'what's wrong' #2).
+
+    Returns (blocks, tomb_ids, allowed_ids); allowed_ids is None when no
+    filter is active (filtered search with an empty per-partition allow
+    set still yields an empty array — correctly matching nothing)."""
+    bid = pdf["block_id"].to_numpy()
+    tomb_mask = bid == TOMBSTONE_BLOCK_ID
+    allow_mask = bid == ALLOWED_BLOCK_ID
+    tomb_ids = (
+        np.unique(pdf.loc[tomb_mask, "first_doc"].to_numpy(np.int64))
+        if tomb_mask.any()
+        else np.empty(0, dtype=np.int64)
+    )
+    allowed = (
+        np.unique(pdf.loc[allow_mask, "first_doc"].to_numpy(np.int64))
+        if allow_mask.any()
+        else None
+    )
+    if tomb_mask.any() or allow_mask.any():
+        pdf = pdf.loc[~(tomb_mask | allow_mask)]
+    return pdf, tomb_ids, allowed
 
 
 def _topk_one_query(
@@ -121,6 +148,7 @@ def _topk_one_query(
     n_query_terms: int,
     factor: float,
     tombstones: np.ndarray,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Interval-granular block-max WAND over one partition's blocks.
 
@@ -187,10 +215,12 @@ def _topk_one_query(
         if tombstones.size and offs.size:
             # K3 deletes: drop BEFORE heap admission so live docs below
             # a tombstoned one still make the top-k
-            cand = offs + lo
-            pos = np.searchsorted(tombstones, cand)
-            dead = (pos < tombstones.size) & (tombstones[np.clip(pos, 0, tombstones.size - 1)] == cand)
-            offs = offs[~dead]
+            offs = offs[~_sorted_member(tombstones, offs + lo)]
+        if allowed is not None and offs.size:
+            # filtered search (§2.8 filter_by): the predicate is applied
+            # pre-heap so the top-k fills with ALLOWED docs — not a
+            # post-filter of an unfiltered top-k
+            offs = offs[_sorted_member(allowed, offs + lo)]
         if len(heap) >= k and offs.size:
             # vectorized pre-filter: only rounding-≥θ candidates can
             # enter the heap (equal can still win on doc_id)
@@ -210,24 +240,30 @@ def _topk_one_query(
 
 
 def _wand_partition(idf_map: dict[str, float], avgdl: float, k: int, mode: str,
-                    n_query_terms: int, bound_factor: dict[int, float]):
+                    n_query_terms: int, bound_factor: dict[int, float],
+                    filtered: bool = False):
     """applyInPandas kernel: blocks of one doc-range partition → local
     top-k. ``bound_factor[part_id]`` inflates stored block maxima when
     the corpus avgdl grew past the partition's build-time avgdl after
-    incremental appends (see index/incremental.py). Tombstones arrive as
-    sentinel rows in the same partition group (see _split_tombstones)."""
+    incremental appends (see index/incremental.py). Tombstones and the
+    optional filter allow-set arrive as sentinel rows in the same
+    partition group (see _split_tombstones); ``filtered`` marks the
+    filter active so a partition with an EMPTY allow set matches
+    nothing instead of everything."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         part_id = int(pdf["part_id"].iloc[0])
-        pdf, tomb_ids = _split_tombstones(pdf)
-        if pdf.empty:
+        pdf, tomb_ids, allowed = _split_tombstones(pdf)
+        if filtered and allowed is None:
+            allowed = np.empty(0, dtype=np.int64)
+        if pdf.empty or (filtered and allowed.size == 0):
             return pd.DataFrame({"doc_id": [], "raw_score": []}).astype(
                 {"doc_id": "int64", "raw_score": "float64"}
             )
         blocks = _PartitionBlocks(pdf, idf_map, avgdl)
         hits = _topk_one_query(
             blocks, sorted(idf_map), k, mode, n_query_terms,
-            bound_factor.get(part_id, 1.0), tomb_ids,
+            bound_factor.get(part_id, 1.0), tomb_ids, allowed,
         )
         return pd.DataFrame(
             {"doc_id": [d for d, _ in hits], "raw_score": [s for _, s in hits]}
@@ -246,7 +282,7 @@ def _wand_partition_batch(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         part_id = int(pdf["part_id"].iloc[0])
         factor = bound_factor.get(part_id, 1.0)
-        pdf, tomb_ids = _split_tombstones(pdf)
+        pdf, tomb_ids, _allowed = _split_tombstones(pdf)
         if pdf.empty:
             return pd.DataFrame({"query_id": [], "doc_id": [], "raw_score": []}).astype(
                 {"query_id": "str", "doc_id": "int64", "raw_score": "float64"}
@@ -275,38 +311,50 @@ _SEG_COLS = [
 ]
 
 
-def _seg_with_tombstones(idx: dict, seg: DataFrame) -> DataFrame:
-    """Union tombstone sentinel rows into the kernel input so deletes
-    travel the same partition-keyed shuffle as the blocks.
+def _sentinel_rows(ranges: DataFrame, ids: DataFrame, block_id: int) -> DataFrame:
+    """doc_id rows → kernel sentinel rows keyed to their owning part.
 
-    Each tombstoned doc_id maps to its owning part via the meta
-    (doc_lo, doc_hi) ranges (disjoint by construction: parts are dense
-    doc-id ranges); the broadcast range-join is P rows — tiny. Ids with
-    no postings anywhere map to no part and are correctly dropped."""
-    tomb = idx.get("tombstones")
-    if tomb is None:
-        return seg.select(*_SEG_COLS)
-    ranges = idx["meta_ranges"].select("part_id", "doc_lo", "doc_hi")
-    sentinels = (
-        tomb.join(
-            F.broadcast(ranges),
-            (F.col("doc_id") >= F.col("doc_lo"))
-            & (F.col("doc_id") <= F.col("doc_hi")),
-        )
-        .select(
-            F.col("part_id").cast("int").alias("part_id"),
-            F.lit("").alias("term"),
-            F.lit(TOMBSTONE_BLOCK_ID).alias("block_id"),
-            F.lit(1).alias("n"),
-            F.col("doc_id").cast("long").alias("first_doc"),
-            F.col("doc_id").cast("long").alias("last_doc"),
-            F.lit(0.0).alias("max_norm"),
-            F.lit(b"").alias("docs_vb"),
-            F.lit(b"").alias("tfs_vb"),
-            F.lit(b"").alias("dls_vb"),
-        )
+    Each doc_id maps to its part via the meta (doc_lo, doc_hi) ranges
+    (disjoint by construction: parts are dense doc-id ranges); the
+    broadcast range-join is P rows — tiny. Ids with no postings anywhere
+    map to no part and are correctly dropped."""
+    return ids.join(
+        F.broadcast(ranges),
+        (F.col("doc_id") >= F.col("doc_lo"))
+        & (F.col("doc_id") <= F.col("doc_hi")),
+    ).select(
+        F.col("part_id").cast("int").alias("part_id"),
+        F.lit("").alias("term"),
+        F.lit(block_id).alias("block_id"),
+        F.lit(1).alias("n"),
+        F.col("doc_id").cast("long").alias("first_doc"),
+        F.col("doc_id").cast("long").alias("last_doc"),
+        F.lit(0.0).alias("max_norm"),
+        F.lit(b"").alias("docs_vb"),
+        F.lit(b"").alias("tfs_vb"),
+        F.lit(b"").alias("dls_vb"),
     )
-    return seg.select(*_SEG_COLS).unionByName(sentinels)
+
+
+def _seg_with_tombstones(
+    idx: dict, seg: DataFrame, allowed: DataFrame | None = None
+) -> DataFrame:
+    """Union tombstone (and optional filter allow-set) sentinel rows
+    into the kernel input so both travel the same partition-keyed
+    shuffle as the blocks. At real scale the allow-set sentinels would
+    be a precomputed attribute-aligned bitmap file per partition; the
+    dataflow shape (partition-local membership, no driver set) is the
+    same."""
+    out = seg.select(*_SEG_COLS)
+    ranges = idx["meta_ranges"].select("part_id", "doc_lo", "doc_hi")
+    tomb = idx.get("tombstones")
+    if tomb is not None:
+        out = out.unionByName(_sentinel_rows(ranges, tomb, TOMBSTONE_BLOCK_ID))
+    if allowed is not None:
+        out = out.unionByName(
+            _sentinel_rows(ranges, allowed.select("doc_id"), ALLOWED_BLOCK_ID)
+        )
+    return out
 
 
 def load_index(spark: SparkSession, index_dir: str) -> dict:
@@ -336,10 +384,17 @@ def load_index(spark: SparkSession, index_dir: str) -> dict:
 
 
 def wand_topk(
-    idx: dict, query: str, k: int = 10, mode: str = "or"
+    idx: dict, query: str, k: int = 10, mode: str = "or",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """→ DataFrame(doc_id long, score double): segment-backed top-k,
-    rank-identical to engine.bm25_topk (same rounding + tie-break)."""
+    rank-identical to engine.bm25_topk (same rounding + tie-break).
+
+    ``allowed`` (DataFrame of doc_id) is the §2.8 filter_by pushdown:
+    the predicate's doc set rides the partition shuffle as sentinel rows
+    and is applied INSIDE the kernel pre-heap, so each partition's local
+    top-k is already the filtered top-k — no oversized candidate pull,
+    no corpus-fraction broadcast."""
     spark = idx["segments"].sparkSession
     from pyf_aggregator_spark.session import ensure_py_files
 
@@ -358,10 +413,10 @@ def wand_topk(
     # shipped as sentinel rows through the partition shuffle — never
     # collected to the driver, so heavy churn can't bloat task closures.
     seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
-    local = _seg_with_tombstones(idx, seg).groupBy("part_id").applyInPandas(
+    local = _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
         _wand_partition(
             idf_map, idx["avgdl"], k, mode, len(terms),
-            idx.get("bound_factor", {}),
+            idx.get("bound_factor", {}), filtered=allowed is not None,
         ),
         "doc_id long, raw_score double",
     )

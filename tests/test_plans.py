@@ -75,6 +75,43 @@ def test_bm25_query_plan_shape(spark, sf):
     assert "BroadcastHashJoin" in plan  # idf join never shuffles postings
 
 
+def test_filtered_search_no_forced_corpus_broadcast(spark, sf):
+    """ft_filtered_search must not FORCE a broadcast of the filtered
+    corpus side (a constant corpus fraction — OOM at scale). With the
+    auto-broadcast threshold disabled, a hint-free plan degrades to a
+    shuffle join; a hinted plan would still show BroadcastExchange."""
+    from pyf_aggregator_spark.operators.fulltext_extra import ft_filtered_search
+    from pyf_aggregator_spark.registry import documents_index
+
+    # materialize the cached index so its build lineage (which has its
+    # own broadcast-hinted joins) collapses to InMemoryTableScan and the
+    # audit sees only the query-side joins
+    index = documents_index(spark, sf)
+    index.postings.count()
+    index.term_idf.count()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    adaptive = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = ft_filtered_search(spark, sf)
+        plan = plan_of(df)
+        # the final corpus join (scored ⋈ lang-filtered documents, the
+        # node feeding the TakeOrdered) must be a shuffle join when
+        # broadcasts are off — a forced hint would pin it to
+        # BroadcastHashJoin regardless of the threshold
+        import re
+
+        head = "\n".join(plan.splitlines()[:6])
+        assert re.search(
+            r"TakeOrderedAndProject.*\n.*Project.*\n.*SortMergeJoin", head
+        ), head
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+
+
 def test_segment_scan_prunes_terms(spark, tmp_path):
     """Term IN-filter reaches the segment parquet scan as PushedFilters."""
     from pyf_aggregator_spark.fixtures.transcripts import transcripts_df

@@ -118,3 +118,35 @@ def test_wand_batch_matches_oracle(built, spark):
         assert list(zip(sub["rank"], sub["doc_id"])) == [
             (r, d) for r, d, _ in golden
         ], q
+
+
+def test_wand_filtered_allowed_set(built):
+    """Kernel-pushed filter_by: WAND with an allow-set returns exactly
+    the DataFrame engine's filtered ranking (filter applied pre-heap,
+    scores under GLOBAL stats)."""
+    from pyspark.sql import functions as F
+
+    spark, docs, index_dir, _, _ = built
+    idx = load_index(spark, index_dir)
+    allowed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    got = wand_topk(idx, "w00000 w00001", k=10, mode="or", allowed=allowed).collect()
+    # reference: unfiltered scored set post-filtered then top-k
+    big = wand_topk(idx, "w00000 w00001", k=10**6, mode="or")
+    exp = (
+        big.join(allowed, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .collect()
+    )
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in exp
+    ]
+    assert all(r["doc_id"] % 3 == 0 for r in got)
+
+
+def test_wand_filtered_empty_allowed(built):
+    spark, docs, index_dir, _, _ = built
+    idx = load_index(spark, index_dir)
+    allowed = docs.filter(F_lit_false := (docs.doc_id < 0)).select("doc_id")
+    got = wand_topk(idx, "w00000", k=5, mode="or", allowed=allowed).collect()
+    assert got == []
