@@ -45,30 +45,62 @@ def _swap_write(df: DataFrame, path: str) -> None:
 
 
 def delete_docs(
-    spark: SparkSession, index_dir: str, doc_ids: DataFrame | list[int]
+    spark: SparkSession, index_dir: str, doc_ids: DataFrame | list[int],
+    scope_part: int | None = None,
 ) -> int:
     """K3 delete-by-filter (db.py:349-375 analog): tombstone the docIDs.
 
-    Segment files stay immutable (the Lucene deletes model): doc_ids
-    land in ``tombstones/`` and the query path anti-joins them out.
+    Segment files stay immutable (the Lucene "deletes apply to earlier
+    segments" model): doc_ids land in ``tombstones/`` and the query
+    path drops them from parts with part_id < ``scope_part``, which
+    defaults to "every part existing right now" (max part + 1). Scopes
+    therefore grow monotonically with operation time, so max(scope)
+    per doc_id == the latest delete/upsert wins — a doc re-added by a
+    later upsert (into a part ≥ its scope) correctly resurfaces.
     BM25 stats intentionally keep the deleted docs until the next full
-    rebuild/compaction (T5) — same drift semantics as Lucene deletes.
-    Returns the number of newly tombstoned ids."""
+    rebuild/compaction (T5) — same drift semantics as Lucene deletes
+    (upsert_docs adjusts them exactly instead). Returns the number of
+    newly tombstoned ids."""
+    if scope_part is None:
+        scope_part = (
+            int(
+                spark.read.parquet(f"{index_dir}/meta")
+                .agg(F.max("part_id"))
+                .collect()[0][0]
+            )
+            + 1
+        )
     if isinstance(doc_ids, list):
         df = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
     else:
         df = doc_ids.select(F.col("doc_id").cast("long"))
-    df = df.distinct()
+    df = (
+        df.distinct()
+        .withColumn("scope_part", F.lit(scope_part).cast("long"))
+        .withColumn("kind", F.lit("delete"))
+    )
     n = df.count()
     df.write.mode("append").parquet(f"{index_dir}/tombstones")
     return n
 
 
 def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """→ DataFrame(doc_id, scope_part, kind) | None — one row per
+    doc_id: the operation with the widest scope (scopes grow with op
+    time, so that's the LATEST delete/upsert). ``kind`` says whether
+    the doc is dead ('delete') or replaced by a live newer version in
+    a part ≥ scope_part ('upsert')."""
     path = f"{index_dir}/tombstones"
     if not os.path.exists(path):
         return None
-    return spark.read.parquet(path).distinct()
+    return (
+        spark.read.parquet(path)
+        .groupBy("doc_id")
+        .agg(
+            F.max("scope_part").alias("scope_part"),
+            F.expr("max_by(kind, scope_part)").alias("kind"),
+        )
+    )
 
 
 def append_segments(
@@ -183,6 +215,238 @@ def append_segments(
     }
 
 
+def _decode_live_postings(seg: DataFrame, tomb: DataFrame | None) -> DataFrame:
+    """Segment blocks → (part_id, term, doc_id, tf, doc_len) rows, with
+    scoped tombstones applied as a distributed anti-join (a posting in a
+    part ≥ its doc's tombstone scope is the live re-added version and
+    survives). Never collects the tombstone set to the driver."""
+    import pandas as pd
+
+    from pyf_aggregator_spark.index.codec import decode_postings, varbyte_decode
+
+    def decode_rows(it):
+        for pdf in it:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                ids, tfs = decode_postings(r.docs_vb, r.tfs_vb)
+                dls = varbyte_decode(r.dls_vb)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "part_id": int(r.part_id),
+                            "term": r.term,
+                            "doc_id": ids.astype("int64"),
+                            "tf": tfs.astype("int64"),
+                            "doc_len": dls.astype("int64"),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {"part_id": pd.Series(dtype="int32"),
+                     "term": pd.Series(dtype=str),
+                     "doc_id": pd.Series(dtype="int64"),
+                     "tf": pd.Series(dtype="int64"),
+                     "doc_len": pd.Series(dtype="int64")}
+                )
+            )
+
+    postings = seg.mapInPandas(
+        decode_rows, "part_id int, term string, doc_id long, tf long, doc_len long"
+    )
+    if tomb is not None:
+        t = tomb.select(
+            F.col("doc_id").alias("t_doc"), F.col("scope_part").alias("t_scope")
+        )
+        postings = postings.join(
+            t,
+            (F.col("doc_id") == F.col("t_doc"))
+            & (F.col("part_id") < F.col("t_scope")),
+            "left_anti",
+        )
+    return postings
+
+
+def upsert_docs(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    num_partitions: int = 1,
+) -> dict:
+    """K2/K5 insert-or-update by doc_id in one call (reference
+    queue.py:128-141 point upsert; github.py:378-397 partial update —
+    in a table-native engine a partial field update materializes as the
+    full new document row).
+
+    Existing ids: the old version's postings are tombstoned scoped to
+    the pre-upsert parts, the new text is appended as a fresh partition
+    REUSING the same doc_id, and term/doc/corpus stats are adjusted
+    exactly both ways (subtract the decoded old postings, add the new
+    tokenization) — so queries after upsert are rank-identical to a
+    fresh rebuild over the modified corpus, with no drift left for
+    compaction to reconcile. New ids are plain inserts.
+
+    The maintenance math is all DataFrame algebra: the only driver
+    values are 4 scalars + the affected part list (partition pruning
+    for the old-postings decode)."""
+    docs = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).persist()
+    n_upsert = docs.count()
+    if n_upsert == 0:
+        docs.unpersist()
+        return {"n_upserted": 0, "n_new": 0, "n_updated": 0}
+
+    meta = spark.read.parquet(f"{index_dir}/meta")
+    part_base = int(meta.agg(F.max("part_id")).collect()[0][0]) + 1
+    old_doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
+    corpus_old = spark.read.parquet(f"{index_dir}/corpus").collect()[0]
+    tomb = load_tombstones(spark, index_dir)
+
+    ids = docs.select("doc_id")
+    existing = ids.join(old_doc_stats.select("doc_id"), "doc_id", "left_semi").persist()
+    n_updated = existing.count()
+    n_new = n_upsert - n_updated
+
+    # ---- old live postings of the updated docs (partition-pruned scan)
+    if n_updated:
+        ranges = meta.select("part_id", "doc_lo", "doc_hi")
+        hit_parts = [
+            r["part_id"]
+            for r in existing.join(
+                F.broadcast(ranges),
+                (F.col("doc_id") >= F.col("doc_lo"))
+                & (F.col("doc_id") <= F.col("doc_hi")),
+            )
+            .select("part_id")
+            .distinct()
+            .collect()
+        ]
+        seg = spark.read.parquet(f"{index_dir}/segments").filter(
+            F.col("part_id").isin(hit_parts) if hit_parts else F.lit(False)
+        )
+        old_rows = _decode_live_postings(seg, tomb).join(
+            existing, "doc_id", "left_semi"
+        )
+        old_term = old_rows.groupBy("term").agg(
+            F.count("*").cast("long").alias("df_sub"),
+            F.sum("tf").cast("long").alias("cf_sub"),
+        )
+        old_len = (
+            old_doc_stats.join(existing, "doc_id", "left_semi")
+            .agg(F.coalesce(F.sum("doc_len"), F.lit(0)))
+            .collect()[0][0]
+        )
+    else:
+        old_term = None
+        old_len = 0
+
+    # ---- new tokenization stats
+    from pyf_aggregator_spark import TOKEN_SEP_RE
+
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term")
+    ).filter(F.col("term") != "")
+    tf_new = tokens.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    new_term = tf_new.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_add"),
+        F.sum("tf").cast("long").alias("cf_add"),
+    )
+    new_doc_stats = (
+        docs.select("doc_id")
+        .join(tf_new.groupBy("doc_id").agg(F.sum("tf").alias("doc_len")), "doc_id", "left")
+        .select("doc_id", F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"))
+        .persist()
+    )
+    new_len = new_doc_stats.agg(F.coalesce(F.sum("doc_len"), F.lit(0))).collect()[0][0]
+
+    n_docs_new = int(corpus_old["n_docs"]) + n_new
+    total_len_new = int(corpus_old["total_len"]) - int(old_len) + int(new_len)
+    avgdl_new = total_len_new / n_docs_new
+
+    # ---- append the new versions as a fresh partition range (same ids)
+    lo = int(docs.agg(F.min("doc_id")).collect()[0][0])
+    hi = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    span = hi - lo + 1
+    import math as _math
+
+    build_segments(
+        docs,
+        index_dir,
+        num_partitions=num_partitions,
+        lineage=f"upsert-{part_base}",
+        doc_base=lo,
+        part_base=part_base,
+        write_stats=False,
+        avgdl_override=avgdl_new,
+        docs_per_part=max(1, _math.ceil(span / num_partitions)),
+    )
+
+    # ---- tombstone the replaced versions (parts below the new one)
+    if n_updated:
+        existing.withColumn(
+            "scope_part", F.lit(part_base).cast("long")
+        ).withColumn("kind", F.lit("upsert")).write.mode("append").parquet(
+            f"{index_dir}/tombstones"
+        )
+
+    # ---- exact stats adjustment (subtract old, add new, re-derive idf)
+    old_stats = spark.read.parquet(f"{index_dir}/term_stats").select("term", "df", "cf")
+    merged = old_stats.join(new_term, "term", "full_outer")
+    if old_term is not None:
+        merged = merged.join(old_term, "term", "full_outer")
+    else:
+        merged = merged.withColumn("df_sub", F.lit(0)).withColumn("cf_sub", F.lit(0))
+    merged = (
+        merged.select(
+            "term",
+            (
+                F.coalesce("df", F.lit(0))
+                - F.coalesce("df_sub", F.lit(0))
+                + F.coalesce("df_add", F.lit(0))
+            ).alias("df"),
+            (
+                F.coalesce("cf", F.lit(0))
+                - F.coalesce("cf_sub", F.lit(0))
+                + F.coalesce("cf_add", F.lit(0))
+            ).alias("cf"),
+        )
+        .filter(F.col("df") > 0)
+        .select(
+            "term", "df", "cf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs_new) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    _swap_write(merged, f"{index_dir}/term_stats")
+
+    kept = old_doc_stats.join(ids, "doc_id", "left_anti")
+    _swap_write(
+        kept.unionByName(new_doc_stats), f"{index_dir}/doc_stats"
+    )
+    spark.createDataFrame(
+        [(int(n_docs_new), int(total_len_new), float(avgdl_new))],
+        "n_docs long, total_len long, avgdl double",
+    ).write.mode("overwrite").parquet(f"{index_dir}/corpus")
+
+    docs.unpersist()
+    existing.unpersist()
+    new_doc_stats.unpersist()
+    return {
+        "n_upserted": int(n_upsert),
+        "n_new": int(n_new),
+        "n_updated": int(n_updated),
+        "part_base": part_base,
+        "avgdl": float(avgdl_new),
+    }
+
+
 def compact(spark: SparkSession, index_dir: str, num_partitions: int | None = None) -> dict:
     """T5 reconciliation/compaction: rebuild the index FROM ITSELF,
     physically dropping tombstoned postings and recomputing stats
@@ -201,41 +465,7 @@ def compact(spark: SparkSession, index_dir: str, num_partitions: int | None = No
     ensure_py_files(spark)
     seg = spark.read.parquet(f"{index_dir}/segments")
     tomb = load_tombstones(spark, index_dir)
-
-    def decode_rows(it):
-        for pdf in it:
-            outs = []
-            for r in pdf.itertuples(index=False):
-                ids, tfs = decode_postings(r.docs_vb, r.tfs_vb)
-                dls = varbyte_decode(r.dls_vb)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": r.term,
-                            "doc_id": ids.astype("int64"),
-                            "tf": tfs.astype("int64"),
-                            "doc_len": dls.astype("int64"),
-                        }
-                    )
-                )
-            yield (
-                pd.concat(outs, ignore_index=True)
-                if outs
-                else pd.DataFrame(
-                    {"term": pd.Series(dtype=str),
-                     "doc_id": pd.Series(dtype="int64"),
-                     "tf": pd.Series(dtype="int64"),
-                     "doc_len": pd.Series(dtype="int64")}
-                )
-            )
-
-    postings = seg.mapInPandas(
-        decode_rows, "term string, doc_id long, tf long, doc_len long"
-    )
-    if tomb is not None:
-        # distributed delete: anti-join beats shipping a collected set
-        # into every decode task (tombstone volume scales with churn)
-        postings = postings.join(tomb, "doc_id", "left_anti")
+    postings = _decode_live_postings(seg, tomb).drop("part_id")
     # reconstruct a pseudo-docs frame: build_segments only needs
     # (doc_id, text) to tokenize — here we already HAVE tf, so rebuild
     # via a synthetic text of repeated terms would be wasteful; instead
@@ -243,13 +473,15 @@ def compact(spark: SparkSession, index_dir: str, num_partitions: int | None = No
     staging = index_dir + "__compact"
     shutil.rmtree(staging, ignore_errors=True)
     postings.write.mode("overwrite").parquet(f"{staging}/postings_src")
-    # doc_stats carries forward from the OLD table (minus tombstones),
-    # not from surviving postings: token-less docs have no postings and
-    # would silently vanish, drifting n_docs/avgdl/idf vs a fresh build
-    # over the same corpus (and shrinking the doc_base watermark).
+    # doc_stats carries forward from the OLD table (minus docs whose
+    # LATEST tombstone is a delete — upsert tombstones mean a live newer
+    # version exists), not from surviving postings: token-less docs have
+    # no postings and would silently vanish, drifting n_docs/avgdl/idf
+    # vs a fresh build over the same corpus.
     surviving = spark.read.parquet(f"{index_dir}/doc_stats")
     if tomb is not None:
-        surviving = surviving.join(tomb, "doc_id", "left_anti")
+        dead = tomb.filter(F.col("kind") == "delete").select("doc_id")
+        surviving = surviving.join(dead, "doc_id", "left_anti")
     surviving.write.mode("overwrite").parquet(f"{staging}/doc_stats_src")
     built = build_segments_from_postings(
         spark,

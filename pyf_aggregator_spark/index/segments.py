@@ -171,6 +171,7 @@ def build_segments(
     part_base: int = 0,
     write_stats: bool = True,
     avgdl_override: float | None = None,
+    docs_per_part: int | None = None,
 ) -> dict:
     """docs(doc_id dense doc_base..doc_base+N-1, text) → segment files
     + stats tables.
@@ -207,8 +208,16 @@ def build_segments(
         F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
     ).collect()[0]
     avgdl = avgdl_override if avgdl_override is not None else total_len / n_docs
-    docs_per_part = max(1, math.ceil(n_docs / num_partitions))
-    n_parts = math.ceil(n_docs / docs_per_part)
+    if docs_per_part is None:
+        # dense 0-based ids: partition by id range. Upsert deltas pass an
+        # explicit span instead (their ids are sparse re-used ones).
+        docs_per_part = max(1, math.ceil(n_docs / num_partitions))
+        n_parts = math.ceil(n_docs / docs_per_part)
+    else:
+        n_parts = math.ceil(
+            (docs.agg(F.max("doc_id")).collect()[0][0] - doc_base + 1)
+            / docs_per_part
+        )
 
     if write_stats:
         # stats tables (cheap, deterministic → overwrite every build)

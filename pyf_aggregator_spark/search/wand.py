@@ -312,17 +312,21 @@ _SEG_COLS = [
 
 
 def _sentinel_rows(ranges: DataFrame, ids: DataFrame, block_id: int) -> DataFrame:
-    """doc_id rows → kernel sentinel rows keyed to their owning part.
+    """doc_id rows → kernel sentinel rows keyed to their owning part(s).
 
     Each doc_id maps to its part via the meta (doc_lo, doc_hi) ranges
-    (disjoint by construction: parts are dense doc-id ranges); the
-    broadcast range-join is P rows — tiny. Ids with no postings anywhere
-    map to no part and are correctly dropped."""
-    return ids.join(
-        F.broadcast(ranges),
-        (F.col("doc_id") >= F.col("doc_lo"))
-        & (F.col("doc_id") <= F.col("doc_hi")),
-    ).select(
+    (upsert parts may overlap older ranges, so a doc can map to several
+    parts); the broadcast range-join is P rows — tiny. Ids with no
+    postings anywhere map to no part and are correctly dropped. When
+    ``ids`` carries a scope_part column (tombstones), the sentinel only
+    lands in parts BELOW the scope — newer parts keep the doc's
+    re-added version."""
+    cond = (F.col("doc_id") >= F.col("doc_lo")) & (
+        F.col("doc_id") <= F.col("doc_hi")
+    )
+    if "scope_part" in ids.columns:
+        cond = cond & (F.col("part_id") < F.col("scope_part"))
+    return ids.join(F.broadcast(ranges), cond).select(
         F.col("part_id").cast("int").alias("part_id"),
         F.lit("").alias("term"),
         F.lit(block_id).alias("block_id"),

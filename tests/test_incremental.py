@@ -235,3 +235,79 @@ def test_compact_equals_rebuild_without_deleted(spark, tmp_path):
             (r["doc_id"], r["score"]) for r in rc
         ], q
     a.unpersist()
+
+
+def test_upsert_equals_rebuild(spark, tmp_path):
+    """K2/K5: upsert (update 3 docs incl. one to empty text, insert 2)
+    ≡ fresh rebuild over the modified corpus — identical corpus/term
+    stats and rank-identical top-k, with zero drift left to compact."""
+    from pyf_aggregator_spark.index.incremental import upsert_docs
+
+    docs = assign_doc_ids(transcripts_df(spark, 1000), num_partitions=2)
+    docs = docs.select("doc_id", "text").persist()
+    n = docs.count()
+    d = str(tmp_path / "ups")
+    build_segments(docs, d, num_partitions=2, lineage="b")
+
+    mod = spark.createDataFrame(
+        [
+            (1, "totally new w00001 content alpha"),
+            (5, ""),
+            (7, "w00000 w00000 w00000 beta"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(n, "brand new doc w00002 beta"), (n + 1, "gamma w00001")],
+        "doc_id long, text string",
+    )
+    info = upsert_docs(spark, d, mod.unionByName(new))
+    assert info["n_updated"] == 3 and info["n_new"] == 2
+
+    modified = (
+        docs.join(mod.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(mod)
+        .unionByName(new)
+    )
+    d2 = str(tmp_path / "refb")
+    build_segments(modified, d2, num_partitions=3, lineage="r")
+
+    ca = spark.read.parquet(f"{d}/corpus").collect()[0]
+    cb = spark.read.parquet(f"{d2}/corpus").collect()[0]
+    assert (ca["n_docs"], ca["total_len"]) == (cb["n_docs"], cb["total_len"])
+    assert ca["avgdl"] == pytest.approx(cb["avgdl"])
+    ta = spark.read.parquet(f"{d}/term_stats").orderBy("term").toPandas()
+    tb = spark.read.parquet(f"{d2}/term_stats").orderBy("term").toPandas()
+    assert ta["term"].tolist() == tb["term"].tolist()
+    assert (ta["df"].values == tb["df"].values).all()
+    assert (ta["cf"].values == tb["cf"].values).all()
+
+    ia, ib = load_index(spark, d), load_index(spark, d2)
+    for q in reference_queries()[:8]:
+        ra = wand_topk(ia, q["query"], k=q["k"], mode=q["mode"]).collect()
+        rb = wand_topk(ib, q["query"], k=q["k"], mode=q["mode"]).collect()
+        assert [(r["doc_id"], r["score"]) for r in ra] == [
+            (r["doc_id"], r["score"]) for r in rb
+        ], q
+
+    # upsert the same doc AGAIN (scoped tombstones must not
+    # double-subtract the first version's stats)
+    mod2 = spark.createDataFrame([(1, "third version w00003")], "doc_id long, text string")
+    upsert_docs(spark, d, mod2)
+    modified2 = (
+        modified.join(mod2.select("doc_id"), "doc_id", "left_anti").unionByName(mod2)
+    )
+    d3 = str(tmp_path / "refc")
+    build_segments(modified2, d3, num_partitions=2, lineage="r2")
+    ic, idx3 = load_index(spark, d), load_index(spark, d3)
+    t2a = spark.read.parquet(f"{d}/term_stats").orderBy("term").toPandas()
+    t2b = spark.read.parquet(f"{d3}/term_stats").orderBy("term").toPandas()
+    assert t2a["term"].tolist() == t2b["term"].tolist()
+    assert (t2a["df"].values == t2b["df"].values).all()
+    for q in reference_queries()[:4]:
+        ra = wand_topk(ic, q["query"], k=q["k"], mode=q["mode"]).collect()
+        rb = wand_topk(idx3, q["query"], k=q["k"], mode=q["mode"]).collect()
+        assert [(r["doc_id"], r["score"]) for r in ra] == [
+            (r["doc_id"], r["score"]) for r in rb
+        ], q
+    docs.unpersist()
