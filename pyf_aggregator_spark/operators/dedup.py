@@ -8,7 +8,8 @@ engine-specific murmur):
   ngram-jaccard  word-5-gram shingles, shared-shingle self-join
   minhash-LSH    8 md5 "permutations" → 4 bands of 2 → bucket join →
                  exact-jaccard verify (the scale path: candidates only)
-  simhash        32-bit md5-nibble majority vote per doc
+  simhash        32-bit md5-nibble majority vote per doc → 4 bands of
+                 8 bits → bucket join → exact hamming ≤ 3 pairs
   embedding      within-label cosine near-dup pairs
 
 Scale notes: the shingle self-join is quadratic in docs-per-shingle —
@@ -244,31 +245,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ simhash
 
 _SIMHASH_BITS = 32
+_SIMHASH_BANDS = 4  # 8 bits each → catches ALL pairs with hamming ≤ 3
+_HAMMING_MAX = 3
 _HEX_HIGH = "'8','9','a','b','c','d','e','f'"
 
-_SIMHASH_BIT_SQL = ", ".join(
+_SIMHASH_INT_SQL = " + ".join(
     f"CASE WHEN sum(CASE WHEN substr(md5(t), {j}, 1) IN ({_HEX_HIGH}) "
-    f"THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+    f"THEN 1 ELSE -1 END) > 0 THEN {1 << (_SIMHASH_BITS - j)}::BIGINT "
+    f"ELSE 0::BIGINT END"
     for j in range(1, _SIMHASH_BITS + 1)
 )
 
 
 @register(
-    "dedup_simhash",
+    "dedup_simhash_pairs",
     f"""
     WITH tok AS (
       SELECT doc_id, unnest(list_filter(
         string_split_regex(lower(text), '[\\s.\\-_@/]+'), t -> t <> '')) AS t
       FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, ({_SIMHASH_INT_SQL}) AS sim
+      FROM tok GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, sim, b, (sim >> (8 * b)) & 255 AS bucket
+      FROM sig, unnest([0, 1, 2, 3]) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2,
+             a.sim AS s1, c.sim AS s2
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
     )
-    SELECT doc_id, concat_ws('', {_SIMHASH_BIT_SQL}) AS simhash
-    FROM tok GROUP BY doc_id ORDER BY doc_id
+    SELECT doc1, doc2, bit_count(xor(s1, s2)) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= {_HAMMING_MAX}
+    ORDER BY doc1, doc2
     """,
 )
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash: bit j = sign of Σ over token occurrences of ±1,
-    + when hex nibble j of md5(token) has its high bit set. Portable
-    across engines (pure md5 nibble tests), one groupBy shuffle."""
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: 32-bit signature (bit j = majority vote
+    of md5-nibble-j high bits over token occurrences, portable across
+    engines) → 4 bands of 8 bits → band-bucket equi-join for candidates
+    → exact Hamming verify (bit_count of xor) ≤ 3.
+
+    4×8 banding is exhaustive for hamming ≤ 3 (pigeonhole: 3 flipped
+    bits can't touch all 4 bands), so the bucket join finds every
+    qualifying pair while scanning only same-bucket candidates — the
+    same candidates-only scale shape as MinHash-LSH. One groupBy for
+    signatures, one equi-join shuffle on (band, bucket)."""
+    from functools import reduce
+    from operator import add
+
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
@@ -282,13 +311,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(1, _SIMHASH_BITS + 1)
     ]
     agg = tok.groupBy("doc_id").agg(*votes)
-    bits = F.concat(
-        *[
-            F.when(F.col(f"b{j}") > 0, "1").otherwise("0")
+    sim = reduce(
+        add,
+        [
+            F.when(
+                F.col(f"b{j}") > 0, F.lit(1 << (_SIMHASH_BITS - j)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
             for j in range(1, _SIMHASH_BITS + 1)
-        ]
+        ],
     )
-    return agg.select("doc_id", bits.alias("simhash")).orderBy("doc_id")
+    sig = agg.select("doc_id", sim.alias("sim"))
+    bands = sig.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sim", 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bucket"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sim", "bb.band", "bb.bucket")
+    a = bands.select(
+        F.col("doc_id").alias("doc1"), F.col("sim").alias("s1"), "band", "bucket"
+    )
+    c = bands.select(
+        F.col("doc_id").alias("doc2"), F.col("sim").alias("s2"), "band", "bucket"
+    )
+    cand = (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "s1", "s2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cand.filter(ham <= _HAMMING_MAX)
+        .select("doc1", "doc2", ham.alias("hamming"))
+        .orderBy("doc1", "doc2")
+    )
 
 
 # ------------------------------------------------- embedding cosine dedup

@@ -237,6 +237,38 @@ def ft_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ft_search_page2",
+    f"""
+    WITH scored AS ({osql.bm25_topk_sql("spark vector", 10_000_000, "or").strip()})
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10 OFFSET 10
+    """,
+)
+def ft_search_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 page/per_page (db.py:263-290, :321-346 — every collection
+    walk in the reference pages): page p of a ranked result = fetch the
+    top p·per_page (TakeOrdered — per-partition heaps, p·k-row merge,
+    no global sort) and keep ranks (p-1)·per_page+1 .. p·per_page via a
+    row_number window over the tiny candidate set."""
+    from pyspark.sql import Window
+
+    page, per_page = 2, 10
+    topk = bm25_topk(
+        documents_index(spark, sf_dir), "spark vector", k=page * per_page, mode="or"
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        topk.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") > (page - 1) * per_page) & (F.col("rn") <= page * per_page)
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+@register(
     "ft_search_facets",
     f"""
     WITH scored AS ({osql.bm25_topk_sql("spark vector", 10_000_000, "or").strip()})

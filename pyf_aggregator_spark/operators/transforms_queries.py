@@ -443,3 +443,31 @@ def c12_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("age_days"), F.col("github_stars"), F.col("github_open_issues")
         ).alias("score"),
     ).orderBy("name", "age_days")
+
+
+# --------------------------------------------------------------- A5 (array)
+
+
+@register(
+    "a5_array_facet_counts",
+    f"""
+    WITH {PKG}
+    SELECT classifier AS facet_value, count(*) AS n
+    FROM packages, unnest(classifiers) AS u(classifier)
+    GROUP BY 1
+    ORDER BY n DESC, facet_value
+    """,
+)
+def a5_array_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 array form: `classifiers`/`keywords` are string[] facets in
+    the reference schema (db.py:96-152) — explode the array, count per
+    value. The explode stays pipelined into the partial aggregation
+    (one shuffle of (value, partial_count) rows, never of the exploded
+    rows themselves)."""
+    return (
+        packages_df(spark)
+        .select(F.explode("classifiers").alias("facet_value"))
+        .groupBy("facet_value")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "facet_value")
+    )
