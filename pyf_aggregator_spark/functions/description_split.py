@@ -1,30 +1,36 @@
-"""C5/C6/C7 — description rendering, splitting, badge detection.
+"""C6/C7 — HTML description splitting + badge detection.
 
 The reference pipeline: rst_to_html.py renders RST/Markdown to HTML
-(dispatch on description_content_type, headings demoted h1→h2…),
-description_splitter.py then cuts the HTML into the weighted search
-fields {title, first_chapter, main_content, changelog} (the fields
-behind query_by_weights 10/10/5/3/1 — AGENTS.md:5-20), and
-screenshot_detector.py classifies image URLs into badges vs real
-screenshots (badge-URL regex + min-width filter, the network dimension
-fetch skipped here).
+(see functions/description_render.py), description_splitter.py then
+cuts the HTML into the weighted search fields {title, first_chapter,
+main_content, changelog} (the fields behind query_by_weights
+10/10/5/3/1 — AGENTS.md:5-20), and screenshot_detector.py classifies
+image URLs into badges vs real screenshots (badge-URL regex + the
+min-width filter, whose network dimension fetch is skipped here).
 
-docutils/markdown renderers are not in this container, so rendering
-targets a markdown-ish subset (ATX `#` headings + setext underlines)
-directly — the SPLITTING semantics mirror the reference: title = first
-heading text, first_chapter = content from the first heading to the
-next, changelog = content under a heading matching the changelog regex,
-main_content = everything else; summary prepended to main_content.
+Splitting semantics (description_splitter.py:26-253):
+- flatten <section> wrappers (RST-rendered HTML nests sections) into a
+  linear element list; bare top-level text is dropped like the
+  reference's element-only iteration;
+- title = plain text of the FIRST heading (any h1-h6);
+- first_chapter = [start, 2nd heading) when the content STARTS with a
+  heading, else [start, 1st heading); links dropped keeping their text,
+  images removed; summary prepended;
+- changelog = from the first heading whose text full-matches
+  changelog|history|changes|release notes|what's new|version(s) to end;
+- main_content = from the first excluded heading to the changelog.
 
-These run as Arrow-batched pandas UDFs (string wrangling with real
-branching — the archetype the reference implements as plugins), with
-golden unit tests standing in for oracle SQL (HTML-dependent transforms
-are the one family SURVEY §7 phase 5 leaves rows-only).
+The flattener uses the stdlib HTMLParser (lxml is not in this
+container); strip_links/strip_images are regex tag surgery over our
+generated HTML. Runs as an Arrow-batched pandas UDF; golden unit tests
+stand in for oracle SQL (HTML transforms are the one family SURVEY §7
+phase 5 leaves rows-only).
 """
 
 from __future__ import annotations
 
 import re
+from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -32,14 +38,21 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 CHANGELOG_RE = re.compile(
-    r"^(change ?log|changes|history|release ?notes?)\b", re.IGNORECASE
+    r"^(change\s*log|history|changes|release\s*notes?|what'?s\s*new|versions?)$",
+    re.IGNORECASE,
 )
-ATX_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
 BADGE_URL_RE = re.compile(
     r"(shields\.io|badge|travis-ci|circleci|codecov|coveralls"
     r"|readthedocs\.(io|org)/projects/.*/badge|appveyor|/workflows/.*/badge)",
     re.IGNORECASE,
 )
+
+HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+_VOID_TAGS = {
+    "img", "br", "hr", "input", "meta", "link", "source", "wbr", "embed",
+    "area", "base", "col", "track", "param",
+}
+_TRANSPARENT_TAGS = {"section"}
 
 SPLIT_SCHEMA = T.StructType(
     [
@@ -51,73 +64,152 @@ SPLIT_SCHEMA = T.StructType(
 )
 
 
-def _headings(lines: list[str]) -> list[tuple[int, str]]:
-    """(line_idx, heading_text) for ATX and setext headings."""
-    out = []
-    for i, line in enumerate(lines):
-        m = ATX_RE.match(line)
-        if m:
-            out.append((i, m.group(2)))
-            continue
-        if (
-            i + 1 < len(lines)
-            and line.strip()
-            and re.fullmatch(r"(=+|-+)\s*", lines[i + 1] or "")
-        ):
-            out.append((i, line.strip()))
-    return out
+class _Flattener(HTMLParser):
+    """Linearize an HTML fragment into top-level elements, treating
+    <section> wrappers as transparent (description_splitter.py:41-63).
+    Each element keeps its serialized HTML and its plain text."""
 
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.elems: list[dict] = []
+        self._depth = 0
+        self._cur: dict | None = None
 
-def split_description_py(text: str, summary: str = "") -> dict:
-    """Pure-Python splitter (shared by the UDF and the golden tests)."""
-    text = text or ""
-    lines = text.splitlines()
-    heads = _headings(lines)
-    if not heads:
-        body = text.strip()
-        return {
-            "title": "",
-            "first_chapter": "",
-            "main_content": (summary + "\n\n" + body).strip() if summary else body,
-            "changelog": "",
-        }
+    def _open(self, tag: str) -> None:
+        self._cur = {"tag": tag, "parts": [self.get_starttag_text()], "texts": []}
 
-    # sections: [heading_i, next_heading) — setext headings consume the
-    # underline line too
-    def sec_body(hi: int) -> str:
-        start = heads[hi][0] + 1
-        if start < len(lines) and re.fullmatch(r"(=+|-+)\s*", lines[start] or ""):
-            start += 1
-        end = heads[hi + 1][0] if hi + 1 < len(heads) else len(lines)
-        return "\n".join(lines[start:end]).strip()
+    def _finish(self) -> None:
+        e = self._cur
+        self._cur = None
+        self.elems.append(
+            {
+                "tag": e["tag"],
+                "html": "".join(e["parts"]),
+                "text": "".join(e["texts"]).strip(),
+            }
+        )
 
-    title = heads[0][1]
-    first_chapter = sec_body(0)
-    changelog_parts, main_parts = [], []
-    for hi in range(1, len(heads)):
-        chunk = heads[hi][1] + "\n" + sec_body(hi)
-        if CHANGELOG_RE.match(heads[hi][1].strip()):
-            changelog_parts.append(chunk)
+    def handle_starttag(self, tag, attrs):
+        if self._depth == 0:
+            if tag in _TRANSPARENT_TAGS:
+                return
+            self._open(tag)
+            if tag in _VOID_TAGS:
+                self._finish()
+            else:
+                self._depth = 1
         else:
-            main_parts.append(chunk)
-    # content above the first heading joins main_content
-    preamble = "\n".join(lines[: heads[0][0]]).strip()
-    main = "\n\n".join(p for p in ([preamble] + main_parts) if p)
+            self._cur["parts"].append(self.get_starttag_text())
+            if tag not in _VOID_TAGS:
+                self._depth += 1
+
+    def handle_startendtag(self, tag, attrs):
+        if self._depth == 0:
+            if tag in _TRANSPARENT_TAGS:
+                return
+            self._open(tag)
+            self._finish()
+        else:
+            self._cur["parts"].append(self.get_starttag_text())
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        if self._depth == 0:
+            return  # closing a transparent wrapper
+        self._cur["parts"].append(f"</{tag}>")
+        self._depth -= 1
+        if self._depth == 0:
+            self._finish()
+
+    def handle_data(self, data):
+        if self._depth > 0:
+            self._cur["parts"].append(data)
+            self._cur["texts"].append(data)
+        # bare top-level text is dropped (reference iterates elements)
+
+
+def _flatten(html: str) -> list[dict]:
+    p = _Flattener()
+    p.feed(html)
+    p.close()
+    if p._cur is not None:  # unclosed element — keep what we saw
+        p._finish()
+    return p.elems
+
+
+def strip_links(html: str) -> str:
+    """Drop <a> tags, keep their text (description_splitter.py:103-115)."""
+    return re.sub(r"</?a\b[^>]*>", "", html or "")
+
+
+def strip_images(html: str) -> str:
+    """Remove <img> tags entirely (description_splitter.py:118-126)."""
+    return re.sub(r"<img\b[^>]*>", "", html or "")
+
+
+def _serialize(elems: list[dict], start: int, end: int | None = None) -> str:
+    return "".join(e["html"] for e in elems[start:end])
+
+
+def split_description_py(html: str, summary: str = "") -> dict:
+    """HTML → {title, first_chapter, main_content, changelog}
+    (description_splitter.py:129-253 semantics, shared by the UDF and
+    the golden tests)."""
+    result = {"title": "", "first_chapter": "", "main_content": "", "changelog": ""}
+    html = html or ""
+    if html.strip():
+        try:
+            elems = _flatten(html)
+        except Exception:
+            elems = None
+        if not elems:
+            result["first_chapter"] = html
+        else:
+            heads = [i for i, e in enumerate(elems) if e["tag"] in HEADING_TAGS]
+            if not heads:
+                result["first_chapter"] = _serialize(elems, 0)
+            else:
+                result["title"] = elems[heads[0]]["text"]
+                changelog_idx = next(
+                    (
+                        i
+                        for i in heads
+                        if CHANGELOG_RE.match(elems[i]["text"].strip())
+                    ),
+                    None,
+                )
+                starts_with_heading = heads[0] == 0
+                if starts_with_heading:
+                    fc_end = heads[1] if len(heads) > 1 else None
+                    main_start = heads[1] if len(heads) > 1 else None
+                else:
+                    fc_end = heads[0]
+                    main_start = heads[0]
+                result["first_chapter"] = _serialize(elems, 0, fc_end)
+                if main_start is not None:
+                    result["main_content"] = _serialize(
+                        elems, main_start, changelog_idx
+                    )
+                if changelog_idx is not None:
+                    result["changelog"] = _serialize(elems, changelog_idx)
+        result["first_chapter"] = strip_images(
+            strip_links(result["first_chapter"])
+        )
     if summary:
-        main = (summary + "\n\n" + main).strip()
-    return {
-        "title": title,
-        "first_chapter": first_chapter,
-        "main_content": main,
-        "changelog": "\n\n".join(changelog_parts),
-    }
+        result["first_chapter"] = (
+            f"{summary}\n\n{result['first_chapter']}"
+            if result["first_chapter"]
+            else summary
+        )
+    return result
 
 
 @pandas_udf(SPLIT_SCHEMA)
-def split_description_udf(text: pd.Series, summary: pd.Series) -> pd.DataFrame:
+def split_description_udf(html: pd.Series, summary: pd.Series) -> pd.DataFrame:
     recs = [
         split_description_py(t, s or "")
-        for t, s in zip(text.fillna(""), summary.fillna(""))
+        for t, s in zip(html.fillna(""), summary.fillna(""))
     ]
     return pd.DataFrame(recs)
 

@@ -5,17 +5,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyf_aggregator_spark.functions.description_render import (
+    render_description_udf,
+)
 from pyf_aggregator_spark.functions.description_split import (
     is_badge_url,
     split_description_udf,
 )
 from pyf_aggregator_spark.registry import register
 
-_MD_DOCS = [
-    (1, "# Pkg One\nfirst chapter.\n## Usage\nuse it.\n## Changelog\n- 1.0\n", "sum one"),
-    (2, "Title\n=====\nbody\n\nHistory\n-------\nold\n", ""),
-    (3, "plain prose only", "short summary"),
-    (4, "# OnlyTitle\n", None),
+# (id, description_content_type, description, summary) — one row per
+# renderer dispatch branch (rst_to_html.py:10-16): markdown, RST via
+# the None/'' PyPI default, explicit text/x-rst, text/plain
+_DESC_DOCS = [
+    (
+        1, "text/markdown",
+        "# Pkg One\nfirst chapter.\n## Usage\nuse it.\n## Changelog\n- 1.0\n",
+        "sum one",
+    ),
+    (
+        2, None,
+        "Pkg Two\n=======\n\nbody para\n\nHistory\n-------\n\nold stuff\n",
+        "",
+    ),
+    (3, "text/plain", "plain prose only", "short summary"),
+    (4, "text/markdown", "intro text\n# Real Title\nbody\n", None),
+    (
+        5, "text/x-rst",
+        "Pkg Five\n========\n\nintro\n\nUsage\n-----\n\nuse ``x``\n\n"
+        "Release Notes\n-------------\n\n- 2.0\n",
+        "five",
+    ),
 ]
 
 _URLS = [
@@ -34,17 +54,24 @@ _BADGE_RE_SQL = (
 
 @register("c5c6_description_split", None)  # HTML-family: golden-tested, rows-only
 def c5c6_description_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5+C6: markdown-ish description → weighted search fields
-    {title, first_chapter, main_content, changelog} via an Arrow-batched
-    pandas UDF (rst_to_html.py + description_splitter.py analog)."""
+    """C5+C6 end-to-end: content-type dispatch render (docutils RST /
+    markdown subset / escaped plain), heading demotion h1→h2, then the
+    HTML splitter into the weighted search fields {title, first_chapter,
+    main_content, changelog} — two chained Arrow-batched pandas UDFs
+    (rst_to_html.py + description_splitter.py)."""
     from pyf_aggregator_spark.session import ensure_py_files
 
-    ensure_py_files(spark)  # the UDF body imports this package on workers
-    df = spark.createDataFrame(_MD_DOCS, "id int, description string, summary string")
+    ensure_py_files(spark)  # the UDF bodies import this package on workers
+    df = spark.createDataFrame(
+        _DESC_DOCS, "id int, content_type string, description string, summary string"
+    )
     return (
         df.select(
-            "id", split_description_udf("description", "summary").alias("s")
+            "id",
+            "summary",
+            render_description_udf("description", "content_type").alias("html"),
         )
+        .select("id", split_description_udf("html", "summary").alias("s"))
         .select("id", "s.title", "s.first_chapter", "s.main_content", "s.changelog")
         .orderBy("id")
     )
