@@ -66,23 +66,77 @@ for _name, (_q, _k, _mode) in _WAND_CASES.items():
     register(_name, osql.bm25_topk_sql(_q, _k, _mode))(_mk())
 
 
-_MF_FIELDS = {"text": 3.0, "source": 10.0}
-_MF_QUERY = "spark src12"
+# ---- the reference's ACTUAL search-field set (AGENTS.md:16-20):
+# query_by name,title,first_chapter,main_content,changelog with weights
+# 10,10,5,3,1. The four description fields are deterministic token
+# windows over text (SQL-expressible so DuckDB can replay them; the
+# real splitter wiring — render → split → index — is exercised in
+# tests/test_multifield_pipeline.py where an oracle can't run the UDF).
+_5F_QUERY = "spark vector src12"
+_TOKS_SQL = (
+    r"list_filter(string_split_regex(lower(text), '[\s.\-_@/]+'), t -> t <> '')"
+)
+_5F_WEIGHTS = {
+    "name": 10.0,
+    "title": 10.0,
+    "first_chapter": 5.0,
+    "main_content": 3.0,
+    "changelog": 1.0,
+}
+_5F_SQL_EXPRS = {
+    "name": "source",
+    "title": f"array_to_string(list_slice({_TOKS_SQL}, 1, 3), ' ')",
+    "first_chapter": f"array_to_string(list_slice({_TOKS_SQL}, 4, 15), ' ')",
+    "main_content": (
+        f"array_to_string(list_slice({_TOKS_SQL}, 16, len({_TOKS_SQL})), ' ')"
+    ),
+    "changelog": (
+        f"array_to_string(list_slice({_TOKS_SQL}, "
+        f"greatest(len({_TOKS_SQL}) - 4, 16), len({_TOKS_SQL})), ' ')"
+    ),
+}
+
+
+def _five_field_docs(docs: DataFrame) -> DataFrame:
+    toks = F.filter(
+        F.split(F.lower("text"), r"[\s.\-_@/]+"), lambda t: t != F.lit("")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("source").alias("name"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("title"),
+        F.array_join(F.slice(toks, 4, 12), " ").alias("first_chapter"),
+        F.array_join(F.slice(toks, 16, 1_000_000), " ").alias("main_content"),
+        F.array_join(
+            F.slice(
+                toks,
+                F.greatest(F.size(toks) - F.lit(4), F.lit(16)),
+                1_000_000,
+            ),
+            " ",
+        ).alias("changelog"),
+    )
 
 
 @register(
-    "ft_bm25_multifield_weighted",
-    osql.bm25_multifield_sql(_MF_QUERY, _MF_FIELDS, k=25),
+    "ft_multifield_5field_weighted",
+    osql.bm25_multifield_sql(
+        _5F_QUERY,
+        {expr: _5F_WEIGHTS[f] for f, expr in _5F_SQL_EXPRS.items()},
+        k=25,
+    ),
 )
-def ft_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 query_by_weights: weighted multi-field BM25 over
-    (text ×3, source ×10) — the description_splitter raison d'être."""
-    docs = load(spark, sf_dir, "documents")
-    indexes = {
-        "text": documents_index(spark, sf_dir),
-        "source": build_index(docs, text_col="source"),
-    }
-    return bm25_topk_multifield(indexes, _MF_FIELDS, _MF_QUERY, k=25)
+def ft_multifield_5field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 query_by + query_by_weights with the reference's real
+    5-field set (AGENTS.md:16-20): name,title,first_chapter,
+    main_content,changelog weighted 10,10,5,3,1. One index per field;
+    per-field scored sets union into one groupBy(doc_id) weighted sum —
+    U2 + A6 composed. Each field index shares the plan shape of the
+    single-field engine (pushed IN-filter, broadcast idf, one shuffle)."""
+    fields = _five_field_docs(load(spark, sf_dir, "documents")).persist()
+    indexes = {f: build_index(fields, text_col=f) for f in _5F_WEIGHTS}
+    out = bm25_topk_multifield(indexes, _5F_WEIGHTS, _5F_QUERY, k=25)
+    return out
 
 
 @register(

@@ -1,0 +1,85 @@
+"""End-to-end 5-field weighted search over SPLITTER output: render →
+split → per-field indexes (name + the 4 description fields) → weighted
+BM25 (AGENTS.md:16-20 weights 10,10,5,3,1). The registry query proves
+the weighted math against DuckDB; this test proves the C5/C6 wiring an
+SQL oracle can't replay (pandas-UDF fields)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyf_aggregator_spark.functions.description_render import render_description_udf
+from pyf_aggregator_spark.functions.description_split import split_description_udf
+from pyf_aggregator_spark.index.builder import build_index
+from pyf_aggregator_spark.search.engine import bm25_topk_multifield
+
+WEIGHTS = {
+    "name": 10.0,
+    "title": 10.0,
+    "first_chapter": 5.0,
+    "main_content": 3.0,
+    "changelog": 1.0,
+}
+
+DOCS = [
+    # doc 0: query term in TITLE (weight 10)
+    (0, "alpha-pkg", "text/markdown",
+     "# quantum toolkit\nintro words here.\n## Usage\nplain usage.\n", ""),
+    # doc 1: query term only in CHANGELOG (weight 1)
+    (1, "beta-pkg", "text/markdown",
+     "# other title\nintro.\n## Changelog\n- added quantum support\n", ""),
+    # doc 2: query term only in MAIN CONTENT (weight 3)
+    (2, "gamma-pkg", None,
+     "Other Top\n=========\n\nintro\n\nDetails\n-------\n\nquantum internals\n",
+     ""),
+    # doc 3: no match anywhere
+    (3, "delta-pkg", "text/plain", "nothing relevant at all", ""),
+    # doc 4: query term in NAME (weight 10)
+    (4, "quantum-core", "text/markdown", "# unrelated\nbody.\n", ""),
+]
+
+
+def test_splitter_fed_weighted_search(spark):
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+    raw = spark.createDataFrame(
+        DOCS, "doc_id long, name string, content_type string, description string, summary string"
+    )
+    split = (
+        raw.select(
+            "doc_id",
+            "name",
+            "summary",
+            render_description_udf("description", "content_type").alias("html"),
+        )
+        .select("doc_id", "name", split_description_udf("html", "summary").alias("s"))
+        .select(
+            "doc_id", "name", "s.title", "s.first_chapter", "s.main_content",
+            "s.changelog",
+        )
+        .persist()
+    )
+    rows = {r["doc_id"]: r for r in split.collect()}
+    assert rows[0]["title"] == "quantum toolkit"
+    assert "quantum" in rows[1]["changelog"]
+    assert "quantum" in rows[2]["main_content"]
+
+    # index the searchable TEXT of each field (tags stripped — markup
+    # must not glue onto adjacent tokens)
+    plain = split.select(
+        "doc_id",
+        *[
+            F.regexp_replace(F.col(f), "<[^>]+>", " ").alias(f)
+            for f in WEIGHTS
+        ],
+    ).persist()
+    indexes = {f: build_index(plain, text_col=f) for f in WEIGHTS}
+    got = bm25_topk_multifield(indexes, WEIGHTS, "quantum", k=5).collect()
+    ranked = [r["doc_id"] for r in got]
+    # the weight-10 matches (name / title) outrank main_content (3),
+    # which outranks changelog (1); the no-match doc is absent
+    assert set(ranked[:2]) == {0, 4}
+    assert ranked[2] == 2 and ranked[3] == 1
+    assert 3 not in ranked
+    split.unpersist()
