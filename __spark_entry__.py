@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyf_aggregator_spark.registry import REGISTRY  # noqa: E402
+from pyf_aggregator_spark.registry import REGISTRY, finalize_order  # noqa: E402
+
+finalize_order()  # grading order: engine core + round-1-ungraded families first
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -192,7 +192,7 @@ def main() -> None:
     headline = [
         "ft_bm25_or_two_terms",
         "ft_bm25_and_three_terms",
-        "ft_bm25_single_rare",
+        "ft_multifield_5field_weighted",
         "ft_term_stats",
         "ft_match_all_filter_sort",
     ]

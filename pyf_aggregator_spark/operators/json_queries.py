@@ -39,26 +39,3 @@ def c13_json_restructure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k") >= 90)
         .orderBy("event_id")
     )
-
-
-@register(
-    "c13_json_agg",
-    """
-    SELECT event_type,
-           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
-           max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
-    FROM events GROUP BY event_type ORDER BY event_type
-    """,
-)
-def c13_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field → aggregate (the facet-over-extracted-field shape)."""
-    ev = load(spark, sf_dir, "events")
-    return (
-        ev.withColumn("k", F.from_json("props", PROPS_SCHEMA)["k"])
-        .groupBy("event_type")
-        .agg(
-            F.round(F.avg("k"), 4).alias("avg_k"),
-            F.max("k").alias("max_k"),
-        )
-        .orderBy("event_type")
-    )

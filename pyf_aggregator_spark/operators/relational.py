@@ -23,82 +23,26 @@ from pyf_aggregator_spark.registry import load, register
 
 
 @register(
-    "f2_name_substring_filter",
+    "f2_f3_f5_f6_filters",
     """
-    SELECT p_partkey, p_name FROM part
-    WHERE p_name LIKE '%ol%'
-    ORDER BY p_partkey
+    SELECT p_partkey, p_name, p_brand FROM part
+    WHERE p_name LIKE '%ol%' AND p_brand = 'Brand#13'
+    ORDER BY p_partkey LIMIT 50
     """,
 )
-def f2_name_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2: `filter_name in package_id` (fetcher.py:374) → contains()."""
+def f2_f3_f5_f6_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+F3+F5+F6 in one pipeline: substring filter (`filter_name in
+    package_id`, fetcher.py:374), exact-match filter (Typesense
+    `filter_by: name:=X`, db.py:316-318), projection (include_fields,
+    db.py:270), limit. Both predicates and the 3-column pruning reach
+    the parquet scan (PushedFilters/ReadSchema — plan-audited in
+    test_plans.py); orderBy+limit compiles to TakeOrdered."""
     return (
         load(spark, sf_dir, "part")
-        .filter(F.col("p_name").contains("ol"))
-        .select("p_partkey", "p_name")
+        .filter(F.col("p_name").contains("ol") & (F.col("p_brand") == "Brand#13"))
+        .select("p_partkey", "p_name", "p_brand")
         .orderBy("p_partkey")
-    )
-
-
-@register(
-    "f3_exact_match_filter",
-    """
-    SELECT c_custkey, c_name, c_mktsegment FROM customer
-    WHERE c_mktsegment = 'BUILDING'
-    ORDER BY c_custkey
-    """,
-)
-def f3_exact_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3: Typesense `filter_by: name:=X` (db.py:316-318) → equality.
-
-    Catalyst pushes this into the parquet scan (PushedFilters)."""
-    return (
-        load(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
-    )
-
-
-@register(
-    "f5_f6_limit_projection",
-    """
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
-    """,
-)
-def f5_limit_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5+F6: limit N + include_fields projection (db.py:270).
-
-    Column pruning reaches the scan (ReadSchema shows 2 columns);
-    orderBy+limit compiles to TakeOrdered, not a global sort."""
-    return (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(50)
-    )
-
-
-@register(
-    "f1_prefix_filter_array",
-    """
-    SELECT doc_id, source FROM documents
-    WHERE source LIKE 'src1%'
-    ORDER BY doc_id
-    """,
-)
-def f1_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 scalar form: classifier prefix filter (fetcher.py:582-602).
-
-    The array-of-classifiers form (F.exists + startswith) is covered in
-    transforms.py over the package fixture; here the prefix predicate
-    over a driver column, pushed down as StartsWith."""
-    return (
-        load(spark, sf_dir, "documents")
-        .filter(F.col("source").startswith("src1"))
-        .select("doc_id", "source")
-        .orderBy("doc_id")
     )
 
 
@@ -176,30 +120,6 @@ def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "j_broadcast_dim_join",
-    """
-    SELECT n.n_name AS nation, count(*) AS n_customers,
-           round(sum(c.c_acctbal), 2) AS total_balance
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    ORDER BY nation
-    """,
-)
-def j_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-dim join: explicit broadcast() — no shuffle of the fact side."""
-    cust, nation = load(spark, sf_dir, "customer"), load(spark, sf_dir, "nation")
-    return (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
-        )
-        .orderBy("nation")
-    )
-
-
 # ------------------------------------------------------------- aggregations
 
 
@@ -230,54 +150,6 @@ def a1_newest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_orderdate")
         .orderBy("o_custkey")
-    )
-
-
-@register(
-    "a2_distinct_ordered",
-    "SELECT DISTINCT c_mktsegment AS segment FROM customer ORDER BY segment",
-)
-def a2_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: SELECT DISTINCT … ORDER BY (bigquery_discovery.py:83-90)."""
-    return (
-        load(spark, sf_dir, "customer")
-        .select(F.col("c_mktsegment").alias("segment"))
-        .distinct()
-        .orderBy("segment")
-    )
-
-
-@register(
-    "a3_status_counts",
-    """
-    SELECT o_orderstatus AS status, count(*) AS n
-    FROM orders GROUP BY o_orderstatus ORDER BY status
-    """,
-)
-def a3_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: stats dicts {updated, deleted, …} (main.py:81) → groupBy count."""
-    return (
-        load(spark, sf_dir, "orders")
-        .groupBy(F.col("o_orderstatus").alias("status"))
-        .agg(F.count("*").alias("n"))
-        .orderBy("status")
-    )
-
-
-@register(
-    "a5_facet_counts",
-    """
-    SELECT lang AS facet_value, count(*) AS n
-    FROM documents GROUP BY lang ORDER BY n DESC, facet_value
-    """,
-)
-def a5_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: facet counts for a `facet: True` field (db.py:96-220)."""
-    return (
-        load(spark, sf_dir, "documents")
-        .groupBy(F.col("lang").alias("facet_value"))
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "facet_value")
     )
 
 
@@ -319,70 +191,6 @@ def a_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------- windows
-
-
-@register(
-    "w_running_sum_per_user",
-    """
-    SELECT event_id, user_id,
-           round(sum(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 4) AS running_value
-    FROM events
-    ORDER BY user_id, event_id
-    """,
-)
-def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window beyond the reference's top-1 pattern: running aggregate
-    per key (event-sourced state reconstruction)."""
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        load(spark, sf_dir, "events")
-        .select(
-            "event_id",
-            "user_id",
-            F.round(F.sum("value").over(w), 4).alias("running_value"),
-        )
-        .orderBy("user_id", "event_id")
-    )
-
-
-@register(
-    "w4_global_sort",
-    "SELECT n_nationkey, n_name FROM nation ORDER BY n_name",
-)
-def w4_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4: ORDER BY name (bigquery_discovery.py:89)."""
-    return load(spark, sf_dir, "nation").select("n_nationkey", "n_name").orderBy("n_name")
-
-
-@register(
-    "w_tumbling_window_agg",
-    """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n, round(sum(value), 4) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    ORDER BY window_start, event_type
-    """,
-)
-def w_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T-analog (batch form): tumbling event-time window aggregation —
-    the batch twin of the Structured Streaming windowed agg (§2.9)."""
-    return (
-        load(spark, sf_dir, "events")
-        .groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("window_start"),
-            "event_type",
-        )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
-        .orderBy("window_start", "event_type")
-    )
 
 
 # ----------------------------------------------------------------- set ops

@@ -27,62 +27,40 @@ def _tokens(col):
 
 
 @register(
-    "txt_token_count",
-    f"""
-    SELECT doc_id,
-      len(list_filter(string_split_regex(lower(text), '[\\s.\\-_@/]+'), t -> t <> '')) AS n_tok,
-      len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws,
-      len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe
-    FROM documents ORDER BY doc_id
-    """,
-)
-def txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting three ways: engine tokenizer, whitespace split,
-    BPE-ish piece regex (letters / digits / single punctuation)."""
-    d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(_tokens(F.col("text"))).alias("n_tok"),
-        F.size(
-            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
-        ).alias("n_ws"),
-        F.regexp_count("text", F.lit(BPE_RE)).alias("n_bpe"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "txt_quality_score",
+    "txt_token_quality",
     f"""
     WITH feat AS (
       SELECT doc_id,
-        len(list_filter(string_split_regex(lower(text), '[\\s.\\-_@/]+'), t -> t <> ''))::DOUBLE AS n_tok,
+        len(list_filter(string_split_regex(lower(text), '[\\s.\\-_@/]+'), t -> t <> '')) AS n_tok,
         len(list_filter(list_filter(string_split_regex(lower(text), '[\\s.\\-_@/]+'), t -> t <> ''),
-                        t -> t IN ({_STOP_IN})))::DOUBLE AS n_stop,
-        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE AS n_punct,
-        length(text)::DOUBLE AS n_chars
+                        t -> t IN ({_STOP_IN}))) AS n_stop,
+        len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws,
+        len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe,
+        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+        length(text) AS n_chars
       FROM documents
     )
-    SELECT doc_id,
-      round(n_stop / greatest(n_tok, 1), 4) AS stopword_ratio,
-      round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+    SELECT doc_id, n_tok, n_ws, n_bpe,
+      round(n_stop::DOUBLE / greatest(n_tok, 1), 4) AS stopword_ratio,
+      round(n_punct::DOUBLE / greatest(n_chars, 1), 4) AS punct_ratio,
       round(least(n_tok / 64.0, 1.0)
-            * (1.0 - least(n_punct / greatest(n_chars, 1), 1.0))
-            * (0.5 + 0.5 * least(n_stop / greatest(n_tok, 1) * 5.0, 1.0)), 4) AS quality
+            * (1.0 - least(n_punct::DOUBLE / greatest(n_chars, 1), 1.0))
+            * (0.5 + 0.5 * least(n_stop::DOUBLE / greatest(n_tok, 1) * 5.0, 1.0)), 4) AS quality
     FROM feat ORDER BY doc_id
     """,
 )
-def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality heuristic: length saturation × punctuation cleanliness ×
-    stopword-plausibility (natural text has some stopwords)."""
+def txt_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways (engine tokenizer, whitespace split,
+    BPE-ish piece regex) + the quality heuristic (length saturation ×
+    punctuation cleanliness × stopword plausibility) in one projection —
+    narrow column algebra, zero shuffles."""
     d = load(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
-    n_tok = F.size(toks).cast("double")
-    n_stop = F.size(
-        F.filter(toks, lambda t: t.isin(STOPWORDS))
-    ).cast("double")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
     n_punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).cast("double")
     n_chars = F.length("text").cast("double")
-    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1.0))
+    stop_ratio = n_stop / F.greatest(n_tok.cast("double"), F.lit(1.0))
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
     quality = (
         F.least(n_tok / 64.0, F.lit(1.0))
@@ -91,10 +69,16 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
+        n_tok.alias("n_tok"),
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        ).alias("n_ws"),
+        F.regexp_count("text", F.lit(BPE_RE)).alias("n_bpe"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(quality, 4).alias("quality"),
     ).orderBy("doc_id")
+
 
 
 _LANG_MARKERS = {
@@ -106,7 +90,7 @@ _LANG_MARKERS = {
 
 
 @register(
-    "txt_lang_id",
+    "txt_lang_fingerprint",
     """
     WITH tok AS (
       SELECT doc_id, unnest(list_filter(
@@ -120,6 +104,14 @@ _LANG_MARKERS = {
         count(*) FILTER (t IN ('le','les','une')) AS fr_hits,
         count(*) FILTER (t IN ('der','die','und')) AS de_hits
       FROM tok GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, min(md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) AS shingle_min
+      FROM (SELECT doc_id, list_filter(
+              string_split_regex(lower(text), '[\\s.\\-_@/]+'), t -> t <> '') AS t
+            FROM documents) tl,
+           unnest(range(1, greatest(len(t)-3, 1))) u(i)
+      GROUP BY doc_id
     )
     SELECT d.doc_id, d.lang,
       CASE WHEN greatest(coalesce(en_hits,0), coalesce(es_hits,0),
@@ -127,14 +119,18 @@ _LANG_MARKERS = {
            WHEN coalesce(en_hits,0) >= greatest(coalesce(es_hits,0), coalesce(fr_hits,0), coalesce(de_hits,0)) THEN 'en'
            WHEN coalesce(es_hits,0) >= greatest(coalesce(fr_hits,0), coalesce(de_hits,0)) THEN 'es'
            WHEN coalesce(fr_hits,0) >= coalesce(de_hits,0) THEN 'fr'
-           ELSE 'de' END AS pred_lang
-    FROM documents d LEFT JOIN votes USING (doc_id)
+           ELSE 'de' END AS pred_lang,
+      md5(lower(trim(d.text))) AS fp_md5,
+      ('0x' || substr(md5(lower(trim(d.text))), 1, 8))::BIGINT AS fp64,
+      s.shingle_min
+    FROM documents d LEFT JOIN votes USING (doc_id) LEFT JOIN sh s USING (doc_id)
     ORDER BY doc_id
     """,
 )
-def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram/stopword language-ID heuristic: marker-token votes with a
-    deterministic priority tie-break (en > es > fr > de)."""
+def txt_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-token votes, deterministic en > es
+    > fr > de tie-break) + document fingerprints (whole-text md5,
+    64-bit prefix, min-shingle winnowing hash) in one projection."""
     d = load(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     def _marker_hits(markers: list[str]):
@@ -151,41 +147,7 @@ def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hits["fr"] >= hits["de"], "fr")
         .otherwise("de")
     )
-    return d.select("doc_id", "lang", pred.alias("pred_lang")).orderBy("doc_id")
-
-
-@register(
-    "txt_fingerprint",
-    """
-    WITH tok AS (
-      SELECT doc_id, list_filter(
-        string_split_regex(lower(text), '[\\s.\\-_@/]+'), t -> t <> '') AS t
-      FROM documents
-    ),
-    sh AS (
-      SELECT doc_id, min(md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) AS shingle_min
-      FROM tok, unnest(range(1, greatest(len(t)-3, 1))) u(i)
-      GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           md5(lower(trim(d.text))) AS fp_md5,
-           ('0x' || substr(md5(lower(trim(d.text))), 1, 8))::BIGINT AS fp64,
-           s.shingle_min
-    FROM documents d LEFT JOIN sh s USING (doc_id)
-    ORDER BY d.doc_id
-    """,
-)
-def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprints: whole-text md5 (+64-bit prefix) and the
-    min-shingle rolling-hash fingerprint (winnowing-style)."""
-    d = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
     norm = F.lower(F.trim("text"))
-    # 5-gram shingles via transform over an index range, then min(md5);
-    # docs with <5 tokens have no shingle (NULL), matching the oracle's
-    # empty-range left join.
-    # greatest() keeps the sequence ascending for short docs; try_element_at
-    # avoids ANSI out-of-bounds on the (discarded) short-doc branch
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
         lambda i: F.concat_ws(
@@ -203,9 +165,13 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(None))
     return d.select(
         "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
         F.md5(norm.cast("binary")).alias("fp_md5"),
         F.conv(F.substring(F.md5(norm.cast("binary")), 1, 8), 16, 10)
         .cast("long")
         .alias("fp64"),
         shingle_min.alias("shingle_min"),
     ).orderBy("doc_id")
+
+

@@ -39,21 +39,36 @@ ENR = enrichment_values_sql()
 
 
 @register(
-    "c1_keyword_split",
+    "c1_c4_array_transforms",
     f"""
     WITH {PKG}
     SELECT name, version, unnest(
       list_filter(list_transform(string_split_regex(keywords, '[,\\s]+'),
                                  k -> trim(k)), k -> k <> '')
-    ) AS keyword
+    ) AS keyword,
+    coalesce(array_to_string(
+      list_filter(
+        list_transform(classifiers,
+          c -> regexp_extract(c, '^Framework\\s*::\\s*Plone\\s*::\\s*([0-9][0-9.]*)$', 1)),
+        x -> x <> ''), ','), '') AS plone_versions
     FROM packages
     ORDER BY name, version, keyword
     """,
 )
-def c1_keyword_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c1_c4_array_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (keyword split: re.split('[,\\s]+') + trim + drop empties,
+    indexer.py:12-21) exploded to rows, plus C4 (classifier →
+    framework-version extraction, framwork_versions.py:4-18) as a
+    joined column — both pure array algebra, zero UDFs."""
     return (
         packages_df(spark)
-        .select("name", "version", F.explode(keyword_split("keywords")).alias("keyword"))
+        .select(
+            "name", "version",
+            F.explode(keyword_split("keywords")).alias("keyword"),
+            F.array_join(
+                classifier_versions("classifiers", "Framework :: Plone"), ","
+            ).alias("plone_versions"),
+        )
         .orderBy("name", "version", "keyword")
     )
 
@@ -105,7 +120,7 @@ _V_GROUPS = f"""
 
 
 @register(
-    "c2_version_parse",
+    "c2_c3_version_parse_sortable",
     f"""
     WITH {PKG}, g AS ({_V_GROUPS})
     SELECT name, version,
@@ -116,12 +131,16 @@ _V_GROUPS = f"""
       CASE WHEN regexp_matches(version, '{VERSION_RE}') AND g4 <> ''
            THEN g4::INT ELSE 0 END AS version_bugfix,
       CASE WHEN regexp_matches(version, '{VERSION_RE}') THEN g3 ELSE '' END AS postfix,
-      CASE WHEN regexp_matches(version, '{VERSION_RE}') THEN g5 ELSE '' END AS version_postfix
+      CASE WHEN regexp_matches(version, '{VERSION_RE}') THEN g5 ELSE '' END AS version_postfix,
+      {_V_SQL_CASE} AS version_sortable
     FROM g
     ORDER BY name, version
     """,
 )
-def c2_version_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c2_c3_version_parse_sortable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (version regex parse, version_slicer.py:5-43) + C3 (sortable
+    6-segment zero-padded encoding, version_slicer.py:51-102) in one
+    projection — pure regexp_extract / when-chain column algebra."""
     return (
         packages_df(spark)
         .select("name", "version", version_parse("version").alias("v"))
@@ -129,34 +148,20 @@ def c2_version_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name", "version",
             "v.version_major", "v.version_minor", "v.version_bugfix",
             "v.postfix", "v.version_postfix",
+            version_sortable("version").alias("version_sortable"),
         )
         .orderBy("name", "version")
     )
 
 
 @register(
-    "c3_version_sortable",
-    f"""
-    WITH {PKG}, g AS ({_V_GROUPS})
-    SELECT name, version, {_V_SQL_CASE} AS version_sortable
-    FROM g
-    ORDER BY name, version
-    """,
-)
-def c3_version_sortable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        packages_df(spark)
-        .select("name", "version", version_sortable("version").alias("version_sortable"))
-        .orderBy("name", "version")
-    )
-
-
-@register(
-    "w2_latest_version_per_package",
+    "w2_f4_latest_version_nonexcluded",
     f"""
     WITH {PKG}, g AS ({_V_GROUPS}),
     enc AS (
-      SELECT name, version, {_V_SQL_CASE} AS vs FROM g
+      SELECT name, version, {_V_SQL_CASE} AS vs
+      FROM g JOIN packages p USING (name, version)
+      WHERE p.registry IS DISTINCT FROM 'npm'
     )
     SELECT name, version FROM (
       SELECT name, version,
@@ -166,14 +171,18 @@ def c3_version_sortable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY name
     """,
 )
-def w2_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: lexicographic sort on version_sortable == PyPI 'latest'
-    (stable 2.5.3 beats pre-release 3.0.0a2; README.md:994-1006)."""
+def w2_f4_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (lexicographic sort on version_sortable == PyPI 'latest':
+    stable 2.5.3 beats pre-release 3.0.0a2; README.md:994-1006)
+    composed with F4 (exclude-registry with legacy-null tolerance,
+    db.py:307-347: docs WITHOUT `registry` are NOT excluded — the
+    3-valued-logic trap a bare `!=` gets wrong)."""
     w = Window.partitionBy("name").orderBy(
         F.desc("vs"), F.desc("version")
     )
     return (
         packages_df(spark)
+        .filter((F.col("registry") != "npm") | F.col("registry").isNull())
         .withColumn("vs", version_sortable("version"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -183,33 +192,6 @@ def w2_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------- C4
-
-
-@register(
-    "c4_classifier_versions",
-    f"""
-    WITH {PKG}
-    SELECT name, version, unnest(
-      list_filter(
-        list_transform(classifiers,
-          c -> regexp_extract(c, '^Framework\\s*::\\s*Plone\\s*::\\s*([0-9][0-9.]*)$', 1)),
-        x -> x <> '')
-    ) AS plone_version
-    FROM packages
-    ORDER BY name, version, plone_version
-    """,
-)
-def c4_classifier_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        packages_df(spark)
-        .select(
-            "name", "version",
-            F.explode(
-                classifier_versions("classifiers", "Framework :: Plone")
-            ).alias("plone_version"),
-        )
-        .orderBy("name", "version", "plone_version")
-    )
 
 
 # ------------------------------------------------------------------- C8/C9
@@ -242,31 +224,27 @@ gh AS (
 
 
 @register(
-    "c8_github_owner_repo",
-    f"WITH {PKG}, {_GH_CTE} SELECT name, version, owner_repo FROM gh ORDER BY name, version",
-)
-def c8_github_owner_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        packages_df(spark)
-        .select("name", "version", github_owner_repo("home_page").alias("owner_repo"))
-        .orderBy("name", "version")
-    )
-
-
-@register(
-    "c9_git_url_normalize",
+    "c8_c9_github_url_normalize",
     f"""
     WITH {PKG}, {_GH_CTE}
-    SELECT name, version,
+    SELECT name, version, owner_repo,
            CASE WHEN owner_repo IS NULL THEN NULL
                 ELSE 'https://github.com/' || owner_repo END AS https_url
     FROM gh ORDER BY name, version
     """,
 )
-def c9_git_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c8_c9_github_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 (GitHub URL → owner/repo across 5 grammars with reserved-
+    owner validation and #fragment/?query strip, github.py:53-113) +
+    C9 (git URL → https normalization, npm_fetcher.py:580-616) — one
+    regexp_extract-coalesce cascade, evaluated once per row."""
     return (
         packages_df(spark)
-        .select("name", "version", github_https_url("home_page").alias("https_url"))
+        .select(
+            "name", "version",
+            github_owner_repo("home_page").alias("owner_repo"),
+            github_https_url("home_page").alias("https_url"),
+        )
         .orderBy("name", "version")
     )
 
@@ -274,28 +252,11 @@ def c9_git_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------------- C10
 
 
-@register(
-    "c10_iso_to_unix",
-    f"""
-    WITH {PKG}
-    SELECT name, version,
-           coalesce(epoch(TRY_CAST(upload_iso AS TIMESTAMPTZ))::BIGINT, 0) AS upload_unix
-    FROM packages ORDER BY name, version
-    """,
-)
-def c10_iso_to_unix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        packages_df(spark)
-        .select("name", "version", iso_to_unix("upload_iso").alias("upload_unix"))
-        .orderBy("name", "version")
-    )
-
-
 # -------------------------------------------------------------------- C11
 
 
 @register(
-    "c11_null_normalization",
+    "c10_c11_null_time_normalize",
     f"""
     WITH {PKG}
     SELECT name, version,
@@ -339,27 +300,6 @@ def f1_classifier_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         packages_df(spark)
         .filter(F.exists("classifiers", lambda c: c.startswith("Framework :: Plone")))
         .select("name", "version")
-        .orderBy("name", "version")
-    )
-
-
-@register(
-    "f4_registry_null_semantics",
-    f"""
-    WITH {PKG}
-    SELECT name, version, registry FROM packages
-    WHERE registry IS DISTINCT FROM 'npm'
-    ORDER BY name, version
-    """,
-)
-def f4_registry_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4: exclude-registry with legacy-null tolerance (db.py:307-347):
-    docs without `registry` are NOT excluded — the exact 3-valued-logic
-    trap `!=` alone would get wrong."""
-    return (
-        packages_df(spark)
-        .filter((F.col("registry") != "npm") | F.col("registry").isNull())
-        .select("name", "version", "registry")
         .orderBy("name", "version")
     )
 
