@@ -103,14 +103,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- ngram jaccard
 
 
+MAX_SHINGLE_DF = 100  # candidate-blocking fan-out cap (see docstring)
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLES_SQL},
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {MAX_SHINGLE_DF}
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
     shared AS (
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS k
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT doc1, doc2, count(*) AS k
+      FROM cand
+      JOIN sh x ON x.doc_id = doc1
+      JOIN sh y ON y.doc_id = doc2 AND y.shingle = x.shingle
       GROUP BY 1, 2
     )
     SELECT doc1, doc2,
@@ -121,18 +138,42 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 5-gram Jaccard ≥ 0.5 via shared-shingle
-    self-join (blocking key = the shingle itself)."""
+    """Near-dup pairs by exact 5-gram Jaccard ≥ 0.5.
+
+    Candidate blocking uses only shingles with df ≤ MAX_SHINGLE_DF (100):
+    the shared-shingle self-join is O(Σ df²) and a Zipf-head shingle
+    would explode it at scale, so high-df (non-informative) shingles
+    are excluded from PAIR DISCOVERY — a pair is only missed if every
+    shingle it shares is hot, which at Jaccard ≥ 0.5 means two docs
+    built almost entirely from boilerplate. The Jaccard itself is then
+    computed EXACTLY over the full shingle sets of the surviving
+    candidates (same candidates-then-verify shape as MinHash-LSH)."""
     sh = _shingles_df(spark, sf_dir).cache()
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle"),
+        "shingle",
+        "left_semi",
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2")
         )
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    shared = (
+        cand.join(s1, "doc1")
+        .join(s2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
         .agg(F.count("*").alias("k"))
     )
     jac = F.col("k") / (F.col("n1") + F.col("n2") - F.col("k"))

@@ -30,7 +30,9 @@ def documents_segment_index(spark: SparkSession, sf_dir: str) -> dict:
         tier = os.path.basename(sf_dir.rstrip("/"))
         # version suffix: bump when the segment/meta format changes so a
         # cached index from an older format is never half-read
-        index_dir = f"/tmp/pyfagg_segidx_v2/{tier}"
+        index_dir = os.path.join(
+            os.environ.get("PYFAGG_SEG_CACHE", "/tmp/pyfagg_segidx_v2"), tier
+        )
         if not os.path.exists(f"{index_dir}/meta"):
             # build in a process-unique staging dir, publish via rename —
             # concurrent driver processes can't interleave half-built
