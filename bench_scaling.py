@@ -35,7 +35,9 @@ def run_level(master: str, sf_dir: str, turns: int, build_only: bool = False) ->
         sys.executable, os.path.join(HERE, "bench.py"),
         "--master", master, "--sf-dir", sf_dir, "--turns", str(turns),
     ]
-    env = {**os.environ, "BENCH_BUILD_REPEATS": "2"}  # min-of-2: CPU-steal noise
+    # min-of-N per level: this host shows heavy run-to-run CPU steal
+    env = {**os.environ,
+           "BENCH_BUILD_REPEATS": os.environ.get("SCALE_REPEATS", "3")}
     if build_only:
         env["BENCH_BUILD_ONLY"] = "1"
     out = subprocess.run(
@@ -79,8 +81,8 @@ def main() -> None:
     # secondary: local[8] → local[32] (driver's example pair; ceiling-bound)
     p2 = pair_report(
         "local[8] → local[32]",
-        run_level("local[8]", sf_dir, int(os.environ.get("SCALE_TURNS_BIG", 500_000))),
-        run_level("local[32]", sf_dir, int(os.environ.get("SCALE_TURNS_BIG", 500_000))),
+        run_level("local[8]", sf_dir, int(os.environ.get("SCALE_TURNS_BIG", 1_000_000))),
+        run_level("local[32]", sf_dir, int(os.environ.get("SCALE_TURNS_BIG", 1_000_000))),
         4,
     )
 

@@ -201,10 +201,9 @@ def append_segments(
     )
     delta_doc_stats.write.mode("append").parquet(f"{index_dir}/doc_stats")
 
-    spark.createDataFrame(
-        [(int(n_docs_new), int(total_len_new), float(avgdl_new))],
-        "n_docs long, total_len long, avgdl double",
-    ).write.mode("overwrite").parquet(f"{index_dir}/corpus")
+    from pyf_aggregator_spark.index.segments import write_corpus_stats
+
+    write_corpus_stats(index_dir, n_docs_new, total_len_new, avgdl_new)
 
     return {
         **stats,
@@ -430,10 +429,9 @@ def upsert_docs(
     _swap_write(
         kept.unionByName(new_doc_stats), f"{index_dir}/doc_stats"
     )
-    spark.createDataFrame(
-        [(int(n_docs_new), int(total_len_new), float(avgdl_new))],
-        "n_docs long, total_len long, avgdl double",
-    ).write.mode("overwrite").parquet(f"{index_dir}/corpus")
+    from pyf_aggregator_spark.index.segments import write_corpus_stats
+
+    write_corpus_stats(index_dir, n_docs_new, total_len_new, avgdl_new)
 
     docs.unpersist()
     existing.unpersist()
@@ -547,10 +545,9 @@ def build_segments_from_postings(
     )
     term_stats.write.mode("overwrite").parquet(f"{index_dir}/term_stats")
     doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
-    spark.createDataFrame(
-        [(int(n_docs), int(total_len), float(avgdl))],
-        "n_docs long, total_len long, avgdl double",
-    ).write.mode("overwrite").parquet(f"{index_dir}/corpus")
+    from pyf_aggregator_spark.index.segments import write_corpus_stats
+
+    write_corpus_stats(index_dir, n_docs, total_len, avgdl)
 
     encoded = (
         tf.withColumn("part_id", (F.col("doc_id") / docs_per_part).cast("int"))

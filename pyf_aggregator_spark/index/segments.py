@@ -56,6 +56,26 @@ META_SCHEMA = (
 )
 
 
+def write_corpus_stats(index_dir: str, n_docs: int, total_len: int, avgdl: float) -> None:
+    """The corpus table is 3 scalars — writing it through a Spark job
+    costs a whole fixed-latency action; write the parquet driver-side
+    instead (schema matches `n_docs long, total_len long, avgdl double`
+    so spark.read.parquet sees the identical table)."""
+    import shutil
+
+    import pandas as pd
+
+    path = os.path.join(index_dir, "corpus")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pd.DataFrame(
+        {"n_docs": [int(n_docs)], "total_len": [int(total_len)],
+         "avgdl": [float(avgdl)]}
+    ).astype(
+        {"n_docs": "int64", "total_len": "int64", "avgdl": "float64"}
+    ).to_parquet(os.path.join(path, "part-00000.parquet"), index=False)
+
+
 def _norm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     tf = tf.astype(np.float64)
     return (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
@@ -233,10 +253,7 @@ def build_segments(
         )
         term_stats.write.mode("overwrite").parquet(f"{index_dir}/term_stats")
         doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
-        spark.createDataFrame(
-            [(int(n_docs), int(total_len), float(avgdl))],
-            "n_docs long, total_len long, avgdl double",
-        ).write.mode("overwrite").parquet(f"{index_dir}/corpus")
+        write_corpus_stats(index_dir, n_docs, total_len, avgdl)
 
     # ---- resume: skip partitions whose checkpoint row already exists
     done: set[int] = set()

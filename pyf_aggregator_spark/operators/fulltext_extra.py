@@ -143,6 +143,67 @@ def ft_multifield_5field(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---- K2/K5 point upsert, end-to-end through the segment engine. The
+# oracle rebuilds BM25 over the MODIFIED corpus in SQL (update two
+# docs — one to empty text — and insert one), which is exactly what
+# upsert_docs must be rank-identical to.
+_UPSERT_CTE = """
+    SELECT doc_id,
+           CASE WHEN doc_id = 3 THEN 'spark vector upserted alpha'
+                WHEN doc_id = 7 THEN ''
+                ELSE text END AS text
+    FROM documents
+    UNION ALL
+    SELECT (SELECT max(doc_id) + 1 FROM documents), 'vector vector spark'
+"""
+
+
+def _upsert_oracle_sql() -> str:
+    inner = osql.bm25_topk_sql("spark vector", 15, "or").replace(
+        "FROM documents", "FROM documents_upserted"
+    )
+    return inner.replace(
+        "WITH ", f"WITH documents_upserted AS ({_UPSERT_CTE}), ", 1
+    )
+
+
+@register("k2_upsert_search", _upsert_oracle_sql())
+def k2_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K5 (queue.py:128-141 point upsert; github.py:378-397 partial
+    update): build the segment index, upsert_docs (update doc 3, empty
+    out doc 7, insert one new doc — scoped tombstones + same-id
+    re-append + exact stats adjustment), then answer a WAND query.
+    The DuckDB oracle computes BM25 over the modified corpus directly,
+    so a green row proves upsert ≡ rebuild rank-identity through the
+    driver's own gate."""
+    import shutil
+    import tempfile
+
+    from pyf_aggregator_spark.index.incremental import upsert_docs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_max = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    tier = os.path.basename(sf_dir.rstrip("/"))
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"pyfagg_upsertidx_{os.getpid()}_{tier}"
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    # small fixed partition count: this is a correctness-gate index over
+    # the sf tier, not the throughput path — 32 encode groups of ~15
+    # docs each would be pure scheduling overhead
+    build_segments(docs, index_dir, num_partitions=4, lineage=f"upsert-base-{tier}")
+    updates = spark.createDataFrame(
+        [
+            (3, "spark vector upserted alpha"),
+            (7, ""),
+            (n_max + 1, "vector vector spark"),
+        ],
+        "doc_id long, text string",
+    )
+    upsert_docs(spark, index_dir, updates)
+    return wand_topk(load_index(spark, index_dir), "spark vector", k=15, mode="or")
+
+
 @register(
     "j5_topk_hydrate",
     f"""
