@@ -35,15 +35,39 @@ def run_level(master: str, sf_dir: str, turns: int, build_only: bool = False) ->
         sys.executable, os.path.join(HERE, "bench.py"),
         "--master", master, "--sf-dir", sf_dir, "--turns", str(turns),
     ]
-    # min-of-N per level: this host shows heavy run-to-run CPU steal
     env = {**os.environ,
-           "BENCH_BUILD_REPEATS": os.environ.get("SCALE_REPEATS", "3")}
+           "BENCH_BUILD_REPEATS": os.environ.get("SCALE_REPEATS", "1")}
     if build_only:
         env["BENCH_BUILD_ONLY"] = "1"
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=3000, check=True, env=env
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_pair_interleaved(
+    m_small: str, m_big: str, sf_dir: str, turns: int,
+    build_only: bool, alternations: int,
+) -> tuple[dict, dict]:
+    """Alternate the two levels A/B/A/B… and take each level's best
+    run. The host's CPU steal drifts on a minutes scale, so measuring
+    level A's runs in one window and level B's in another (the naive
+    sequential layout) confounds the steal drift with the scaling
+    signal; interleaving gives both levels the same exposure."""
+    smalls, bigs = [], []
+    for _ in range(alternations):
+        smalls.append(run_level(m_small, sf_dir, turns, build_only))
+        bigs.append(run_level(m_big, sf_dir, turns, build_only))
+
+    def best(runs: list[dict]) -> dict:
+        out = dict(max(runs, key=lambda r: r["turns_indexed_per_sec"]))
+        # each metric takes ITS OWN minimum-noise run
+        for m in ("queries_per_sec", "df_queries_per_sec"):
+            out[m] = max(r.get(m) or 0.0 for r in runs)
+        out["all_turns_per_sec"] = [r["turns_indexed_per_sec"] for r in runs]
+        return out
+
+    return best(smalls), best(bigs)
 
 
 def pair_report(name: str, small: dict, big: dict, factor: int) -> dict:
@@ -68,23 +92,21 @@ def pair_report(name: str, small: dict, big: dict, factor: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    alt = int(os.environ.get("SCALE_ALTERNATIONS", 3))
     # primary: N=1 → 4N=4 cores (inside the sandbox's scaling regime);
     # build-only at a large corpus so fixed per-job latency (~16 s,
     # measured) amortizes and the measurement reflects engine capacity
-    turns_small = int(os.environ.get("SCALE_TURNS_SMALL", 1_000_000))
-    p1 = pair_report(
-        "local[1] → local[4] (build-only)",
-        run_level("local[1]", sf_dir, turns_small, build_only=True),
-        run_level("local[4]", sf_dir, turns_small, build_only=True),
-        4,
+    turns_small = int(os.environ.get("SCALE_TURNS_SMALL", 500_000))
+    s1, b1 = run_pair_interleaved(
+        "local[1]", "local[4]", sf_dir, turns_small, True, alt
     )
+    p1 = pair_report("local[1] → local[4] (build-only)", s1, b1, 4)
     # secondary: local[8] → local[32] (driver's example pair; ceiling-bound)
-    p2 = pair_report(
-        "local[8] → local[32]",
-        run_level("local[8]", sf_dir, int(os.environ.get("SCALE_TURNS_BIG", 1_000_000))),
-        run_level("local[32]", sf_dir, int(os.environ.get("SCALE_TURNS_BIG", 1_000_000))),
-        4,
+    turns_big = int(os.environ.get("SCALE_TURNS_BIG", 1_000_000))
+    s2, b2 = run_pair_interleaved(
+        "local[8]", "local[32]", sf_dir, turns_big, False, alt
     )
+    p2 = pair_report("local[8] → local[32]", s2, b2, 4)
 
     def row(p):
         return (

@@ -226,37 +226,48 @@ def j5_topk_hydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouped_search(
+    spark: SparkSession, sf_dir: str, query: str, group_col: str,
+    group_limit: int = 1, k: int = 100,
+) -> DataFrame:
+    """§2.8 group_by + group_limit combined with ranking: up to
+    ``group_limit`` best hits per facet group (db.py:266-290's grouped
+    search returns group_limit hits per group) — window top-N over the
+    scored candidates, one shuffle on the group key."""
+    from pyspark.sql import Window
+
+    topk = bm25_topk(documents_index(spark, sf_dir), query, k=k, mode="or")
+    docs = load(spark, sf_dir, "documents").select("doc_id", group_col)
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        topk.join(docs, "doc_id")
+        .withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= group_limit)
+        .select(group_col, "rank_in_group", "doc_id", "score")
+        .orderBy(group_col, "rank_in_group")
+    )
+
+
 @register(
-    "ft_grouped_search_top1_per_lang",
+    "ft_grouped_search_top2_per_lang",
     f"""
     WITH topk AS ({osql.bm25_topk_sql("spark vector window", 100, "or").strip()})
-    SELECT lang, doc_id, score FROM (
+    SELECT lang, rank_in_group, doc_id, score FROM (
       SELECT d.lang, t.doc_id, t.score,
              row_number() OVER (
                PARTITION BY d.lang ORDER BY t.score DESC, t.doc_id ASC
-             ) AS rn
+             ) AS rank_in_group
       FROM topk t JOIN documents d USING (doc_id)
-    ) WHERE rn = 1
-    ORDER BY lang
+    ) WHERE rank_in_group <= 2
+    ORDER BY lang, rank_in_group
     """,
 )
-def ft_grouped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 group_by + group_limit 1 combined with ranking: best hit per
-    facet group (db.py:266-290's grouped search) — window top-1 over the
-    scored candidates."""
-    from pyspark.sql import Window
-
-    topk = bm25_topk(
-        documents_index(spark, sf_dir), "spark vector window", k=100, mode="or"
-    )
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        topk.join(docs, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("lang", "doc_id", "score")
-        .orderBy("lang")
+def ft_grouped_search_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_limit = 2 (the reference's grouped search pages up to
+    group_limit hits per group, db.py:266-290 — round 1 only had the
+    top-1 special case)."""
+    return grouped_search(
+        spark, sf_dir, "spark vector window", "lang", group_limit=2
     )
 
 

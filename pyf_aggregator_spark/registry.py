@@ -128,7 +128,7 @@ _ORDER = [
     "ft_multifield_5field_weighted", "ft_wand_batch",
     "ft_filtered_search", "ft_wand_filtered",
     "ft_search_page2", "ft_search_facets",
-    "ft_grouped_search_top1_per_lang", "j5_topk_hydrate",
+    "ft_grouped_search_top2_per_lang", "j5_topk_hydrate",
     "k2_upsert_search",
     # stats + match-all
     "ft_term_stats", "ft_doc_stats", "ft_match_all_filter_sort",
