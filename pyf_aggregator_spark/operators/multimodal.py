@@ -91,3 +91,88 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "n_bytes", "width", "height", "n_frames"
     ).orderBy("doc_id")
+
+
+# ---- transform plumbing beyond decode: resize, frame-sample, feature
+# extraction. Same contract as the decoder: the Spark dataflow (schemas,
+# Arrow batching, 1:N expansion, partitioning) is real; the pixel/codec
+# math is a clearly-marked deterministic stub (PIL/ffmpeg not in this
+# container) a production deployment swaps in-place.
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, payload binary"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_payload binary"
+FEATURE_DIM = 16
+FEATURE_SCHEMA = f"doc_id long, embedding array<float>"
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize: deterministic re-encode (truncate/pad to w*h bytes).
+    Production: PIL Image.resize + re-encode."""
+    target = width * height
+    return (payload * (target // max(len(payload), 1) + 1))[:target]
+
+
+def mm_resize(df: "DataFrame", width: int = 32, height: int = 32) -> "DataFrame":
+    """Batch image resize over mapInPandas: one Arrow exchange per
+    batch, byte payloads in and out — the hot-path shape for bulk
+    thumbnailing at 100 TB (pure map, no shuffle)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": width,
+                    "height": height,
+                    "payload": [
+                        _resize_stub(p, width, height) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def mm_frame_sample(df: "DataFrame", every_n: int = 10) -> "DataFrame":
+    """Video frame sampling: 1:N row expansion inside mapInPandas (a
+    video row yields one row per sampled frame). The stub derives
+    n_frames from the payload like the decoder; production swaps in
+    ffmpeg keyframe extraction — the expansion dataflow is identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(p) % 30 + 1  # stub: same math as decode
+                for f in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    frames.append(hashlib.sha1(p + f.to_bytes(4, "big")).digest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def mm_feature_extract(df: "DataFrame", dim: int = FEATURE_DIM) -> "DataFrame":
+    """Embedding extraction: payload → fixed-dim float vector. The stub
+    hashes byte windows into a deterministic unit-ish vector; production
+    swaps in a model forward pass (same Arrow batch shape). The output
+    column is array<float> — directly consumable by the ANN operators
+    (similarity.kmeans_fit / ivf_topk_batch)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            vecs = []
+            for p in pdf["payload"]:
+                h = hashlib.sha256(p).digest()
+                raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4],
+                                    dtype=np.uint32).astype(np.float64)
+                v = raw / np.linalg.norm(raw)
+                vecs.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "embedding": vecs})
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
