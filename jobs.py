@@ -7,6 +7,9 @@
     spark-submit ... jobs.py query  --index-dir <dir> --query "w1 w2" \\
         [--mode and|or] [--k 10]
     spark-submit ... jobs.py query-batch --index-dir <dir> --queries <parquet>
+    spark-submit ... jobs.py upsert  --input <docs_parquet> --index-dir <dir>
+    spark-submit ... jobs.py delete  --input <doc_ids_parquet> --index-dir <dir>
+    spark-submit ... jobs.py compact --index-dir <dir>
 
 On a cluster the package zip is built locally by
 ``pyf_aggregator_spark.session.ensure_py_files`` (or `python -m zipfile`)
@@ -56,6 +59,20 @@ def main() -> None:
         help="parquet with (query_id, query, mode, k)",
     )
     qb.add_argument("--output", default=None, help="result parquet path")
+
+    up = sub.add_parser("upsert")
+    up.add_argument("--input", required=True,
+                    help="parquet with (doc_id, text) — existing ids update")
+    up.add_argument("--index-dir", required=True)
+    up.add_argument("--partitions", type=int, default=1)
+
+    de = sub.add_parser("delete")
+    de.add_argument("--input", required=True, help="parquet with doc_id")
+    de.add_argument("--index-dir", required=True)
+
+    co = sub.add_parser("compact")
+    co.add_argument("--index-dir", required=True)
+    co.add_argument("--partitions", type=int, default=None)
 
     args = ap.parse_args()
 
@@ -111,31 +128,57 @@ def main() -> None:
             "sec": round(time.monotonic() - t0, 2),
         }
 
-    else:  # query-batch
-        from pyf_aggregator_spark.search.wand import load_index, wand_topk
+    elif args.cmd == "query-batch":
+        from pyf_aggregator_spark.search.wand import load_index, wand_topk_batch
 
         idx = load_index(spark, args.index_dir)
         idx["segments"] = idx["segments"].cache()
-        qs = spark.read.parquet(args.queries).collect()
-        results = []
-        for q in qs:
-            for rank, r in enumerate(
-                wand_topk(
-                    idx, q["query"], k=q["k"] or 10, mode=q["mode"] or "or"
-                ).collect()
-            ):
-                results.append((q["query_id"], rank + 1, r["doc_id"], r["score"]))
-        rdf = spark.createDataFrame(
-            results, "query_id string, rank int, doc_id long, score double"
-        )
+        qs = [
+            {"query_id": r["query_id"], "query": r["query"],
+             "mode": r["mode"] or "or", "k": r["k"] or 10}
+            for r in spark.read.parquet(args.queries).collect()
+        ]
+        # ONE job for the whole set: shared per-partition block decodes
+        # (the q/s capacity path — a per-query loop pays job-scheduling
+        # latency per query)
+        rdf = wand_topk_batch(idx, qs)
         if args.output:
             rdf.write.mode("overwrite").parquet(args.output)
+            n_rows = spark.read.parquet(args.output).count()
+        else:
+            n_rows = rdf.count()
         out = {
             "cmd": "query-batch",
             "n_queries": len(qs),
-            "n_rows": len(results),
+            "n_rows": int(n_rows),
             "sec": round(time.monotonic() - t0, 2),
         }
+
+    elif args.cmd == "upsert":
+        from pyf_aggregator_spark.index.incremental import upsert_docs
+
+        info = upsert_docs(
+            spark,
+            args.index_dir,
+            spark.read.parquet(args.input).select("doc_id", "text"),
+            num_partitions=args.partitions,
+        )
+        out = {**info, "cmd": "upsert", "sec": round(time.monotonic() - t0, 2)}
+
+    elif args.cmd == "delete":
+        from pyf_aggregator_spark.index.incremental import delete_docs
+
+        n = delete_docs(
+            spark, args.index_dir, spark.read.parquet(args.input).select("doc_id")
+        )
+        out = {"cmd": "delete", "n_tombstoned": n,
+               "sec": round(time.monotonic() - t0, 2)}
+
+    else:  # compact
+        from pyf_aggregator_spark.index.incremental import compact
+
+        info = compact(spark, args.index_dir, num_partitions=args.partitions)
+        out = {**info, "cmd": "compact", "sec": round(time.monotonic() - t0, 2)}
 
     print(json.dumps(out))
 
