@@ -453,3 +453,97 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec1", "vec2", "label", F.round("cos", 4).alias("cosine"))
         .orderBy("vec1", "vec2")
     )
+
+
+# ------------------------------------------- parametrized / salted LSH
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over full shingle sets for candidate pairs."""
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    shared = (
+        cand.join(s1, "doc1")
+        .join(s2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("k"))
+    )
+    jac = F.col("k") / (F.col("n1") + F.col("n2") - F.col("k"))
+    return (
+        shared.join(sz.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1")), "doc1")
+        .join(sz.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2")), "doc2")
+        .filter(jac >= threshold)
+        .select("doc1", "doc2", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )
+
+
+def minhash_lsh_pairs(
+    sh: DataFrame,
+    n_perm: int = 16,
+    n_bands: int = 8,
+    threshold: float = JACCARD_THRESHOLD,
+    hot_bucket_cap: int = 1000,
+) -> DataFrame:
+    """Parametrized MinHash-LSH (the registry query pins n_perm=8 for
+    its oracle; the 100 TB configuration is 64-128 perms — this is that
+    path).
+
+    n_perm md5 'permutations' → n_bands bands of r = n_perm/n_bands
+    rows; band_key = the r min-hashes in permutation order. Buckets
+    larger than ``hot_bucket_cap`` are EXCLUDED from pair generation:
+    a band bucket with B docs yields B² candidates, so one boilerplate
+    bucket (near-identical headers, empty docs) can dominate the whole
+    job — the cap bounds the self-join at cap² per bucket, and a
+    bucket that hot at r min-hashes is near-duplicate boilerplate by
+    construction (pairs inside it are better handled by exact dedup).
+    Candidates are then verified with EXACT Jaccard, so the cap only
+    affects recall on capped buckets, never precision."""
+    assert n_perm % n_bands == 0
+    r = n_perm // n_bands
+    spark = sh.sparkSession
+    perms = spark.range(n_perm).select(F.col("id").cast("int").alias("i"))
+    mh = (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.col("i").cast("string"), F.lit("|"), F.col("shingle")
+                    ).cast("binary")
+                )
+            ).alias("h")
+        )
+    )
+    bands = mh.groupBy(
+        "doc_id", (F.col("i") / r).cast("int").alias("band")
+    ).agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "h"))),
+                lambda s: s["h"],
+            ),
+        ).alias("band_key")
+    )
+    ok_buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("bn"))
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= hot_bucket_cap))
+        .select("band", "band_key")
+    )
+    bands = bands.join(ok_buckets, ["band", "band_key"], "left_semi")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold)
