@@ -294,6 +294,12 @@ def upsert_docs(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     ).persist()
     n_upsert = docs.count()
+    # one version per id per call — duplicate ids would double-count in
+    # the stats adjustment (callers sequence multiple versions as
+    # separate upsert calls, like the reference's queue of point upserts)
+    assert docs.select("doc_id").distinct().count() == n_upsert, (
+        "upsert_docs: input contains duplicate doc_ids"
+    )
     if n_upsert == 0:
         docs.unpersist()
         return {"n_upserted": 0, "n_new": 0, "n_updated": 0}
