@@ -23,6 +23,8 @@ exact.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import shutil
 
@@ -44,6 +46,82 @@ def _swap_write(df: DataFrame, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+# ------------------------------------------------- upsert crash recovery
+#
+# upsert_docs is a multi-file mutation (segment parts + meta rows +
+# tombstones + three stats tables). A crash mid-sequence must never
+# leave BOTH the old and new version of a doc live, or stats half
+# adjusted. Protocol: every artifact is staged first, a pending marker
+# (pending/upsert_<part_base>.json) records exactly which live files
+# the commit will create, the commit is pure renames, and the marker is
+# removed last. _reconcile_pending rolls an interrupted commit BACK by
+# deleting the recorded artifacts and restoring the __bak stats dirs —
+# after which the index is byte-identical to its pre-upsert state and
+# the upsert can simply be retried.
+
+_SWAP_TABLES = ("term_stats", "doc_stats", "corpus")
+
+
+def _reconcile_pending(index_dir: str) -> int:
+    """Roll back any upsert whose pending marker survived a crash.
+    Returns the number of markers reconciled. Cheap no-op (one listdir)
+    when there is nothing pending."""
+    pend_dir = os.path.join(index_dir, "pending")
+    if not os.path.isdir(pend_dir):
+        return 0
+    n = 0
+    for name in sorted(os.listdir(pend_dir)):
+        if not name.endswith(".json"):
+            continue
+        marker_path = os.path.join(pend_dir, name)
+        with open(marker_path) as fh:
+            marker = json.load(fh)
+        pb = marker["part_base"]
+        # stats swaps, reverse commit order: a __bak dir means the swap
+        # happened — restore it (the live dir is the uncommitted new one)
+        for t in reversed(_SWAP_TABLES):
+            bak = os.path.join(index_dir, f"{t}__bak{pb}")
+            if os.path.exists(bak):
+                live = os.path.join(index_dir, t)
+                shutil.rmtree(live, ignore_errors=True)
+                os.rename(bak, live)
+        for rel in marker.get("tomb_files", []):
+            p = os.path.join(index_dir, "tombstones", rel)
+            if os.path.exists(p):
+                os.remove(p)
+        # the commit may have created the tombstones dir itself — an
+        # empty parquet dir left behind would break readers
+        tomb_dir = os.path.join(index_dir, "tombstones")
+        if os.path.isdir(tomb_dir) and not _data_files(tomb_dir):
+            shutil.rmtree(tomb_dir, ignore_errors=True)
+        for rel in marker.get("meta_files", []):
+            p = os.path.join(index_dir, "meta", rel)
+            if os.path.exists(p):
+                os.remove(p)
+        for pid in marker.get("part_ids", []):
+            shutil.rmtree(
+                os.path.join(index_dir, "segments", f"part_id={pid}"),
+                ignore_errors=True,
+            )
+        staging = marker.get("staging")
+        if staging:
+            shutil.rmtree(staging, ignore_errors=True)
+        os.remove(marker_path)
+        n += 1
+    # a crash between marker-removal and cleanup leaves orphan __bak
+    # dirs (commit COMPLETED — the live tables are authoritative)
+    for t in _SWAP_TABLES:
+        for p in glob.glob(os.path.join(index_dir, f"{t}__bak*")):
+            shutil.rmtree(p, ignore_errors=True)
+    return n
+
+
+def _data_files(path: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ) if os.path.isdir(path) else []
+
+
 def delete_docs(
     spark: SparkSession, index_dir: str, doc_ids: DataFrame | list[int],
     scope_part: int | None = None,
@@ -61,6 +139,7 @@ def delete_docs(
     rebuild/compaction (T5) — same drift semantics as Lucene deletes
     (upsert_docs adjusts them exactly instead). Returns the number of
     newly tombstoned ids."""
+    _reconcile_pending(index_dir)
     if scope_part is None:
         scope_part = (
             int(
@@ -91,14 +170,20 @@ def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     the doc is dead ('delete') or replaced by a live newer version in
     a part ≥ scope_part ('upsert')."""
     path = f"{index_dir}/tombstones"
-    if not os.path.exists(path):
+    if not os.path.exists(path) or not _data_files(path):
         return None
     return (
         spark.read.parquet(path)
         .groupBy("doc_id")
         .agg(
             F.max("scope_part").alias("scope_part"),
-            F.expr("max_by(kind, scope_part)").alias("kind"),
+            # deterministic tie-break at equal scope_part: delete beats
+            # upsert (max_by alone has unspecified tie order — a delete
+            # and an upsert sharing a scope would flip the doc's
+            # live/dead status run to run)
+            F.expr(
+                "max_by(kind, struct(scope_part, cast(kind = 'delete' as int)))"
+            ).alias("kind"),
         )
     )
 
@@ -290,16 +375,18 @@ def upsert_docs(
     The maintenance math is all DataFrame algebra: the only driver
     values are 4 scalars + the affected part list (partition pruning
     for the old-postings decode)."""
+    _reconcile_pending(index_dir)
     docs = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     ).persist()
     n_upsert = docs.count()
     # one version per id per call — duplicate ids would double-count in
     # the stats adjustment (callers sequence multiple versions as
-    # separate upsert calls, like the reference's queue of point upserts)
-    assert docs.select("doc_id").distinct().count() == n_upsert, (
-        "upsert_docs: input contains duplicate doc_ids"
-    )
+    # separate upsert calls, like the reference's queue of point
+    # upserts). Hard error, not assert: -O must not strip the guard.
+    if docs.select("doc_id").distinct().count() != n_upsert:
+        docs.unpersist()
+        raise ValueError("upsert_docs: input contains duplicate doc_ids")
     if n_upsert == 0:
         docs.unpersist()
         return {"n_upserted": 0, "n_new": 0, "n_updated": 0}
@@ -373,15 +460,17 @@ def upsert_docs(
     total_len_new = int(corpus_old["total_len"]) - int(old_len) + int(new_len)
     avgdl_new = total_len_new / n_docs_new
 
-    # ---- append the new versions as a fresh partition range (same ids)
+    # ---- STAGE every artifact; live dirs stay untouched until commit
     lo = int(docs.agg(F.min("doc_id")).collect()[0][0])
     hi = int(docs.agg(F.max("doc_id")).collect()[0][0])
     span = hi - lo + 1
     import math as _math
 
+    staging = index_dir + f"__upstage{part_base}"
+    shutil.rmtree(staging, ignore_errors=True)
     build_segments(
         docs,
-        index_dir,
+        staging,
         num_partitions=num_partitions,
         lineage=f"upsert-{part_base}",
         doc_base=lo,
@@ -390,16 +479,15 @@ def upsert_docs(
         avgdl_override=avgdl_new,
         docs_per_part=max(1, _math.ceil(span / num_partitions)),
     )
-
-    # ---- tombstone the replaced versions (parts below the new one)
     if n_updated:
         existing.withColumn(
             "scope_part", F.lit(part_base).cast("long")
-        ).withColumn("kind", F.lit("upsert")).write.mode("append").parquet(
-            f"{index_dir}/tombstones"
+        ).withColumn("kind", F.lit("upsert")).write.mode("overwrite").parquet(
+            f"{staging}/tombstones"
         )
 
-    # ---- exact stats adjustment (subtract old, add new, re-derive idf)
+    # exact stats adjustment (subtract old, add new, re-derive idf) —
+    # the staged writes below EXECUTE the reads of the live tables
     old_stats = spark.read.parquet(f"{index_dir}/term_stats").select("term", "df", "cf")
     merged = old_stats.join(new_term, "term", "full_outer")
     if old_term is not None:
@@ -429,15 +517,68 @@ def upsert_docs(
             ).alias("idf"),
         )
     )
-    _swap_write(merged, f"{index_dir}/term_stats")
-
+    merged.write.mode("overwrite").parquet(f"{staging}/term_stats")
     kept = old_doc_stats.join(ids, "doc_id", "left_anti")
-    _swap_write(
-        kept.unionByName(new_doc_stats), f"{index_dir}/doc_stats"
+    kept.unionByName(new_doc_stats).write.mode("overwrite").parquet(
+        f"{staging}/doc_stats"
     )
     from pyf_aggregator_spark.index.segments import write_corpus_stats
 
-    write_corpus_stats(index_dir, n_docs_new, total_len_new, avgdl_new)
+    write_corpus_stats(staging, n_docs_new, total_len_new, avgdl_new)
+
+    # ---- COMMIT: marker first (records every live file the commit
+    # creates), then pure renames, marker removed last. A crash at any
+    # point is rolled back by _reconcile_pending on the next call.
+    new_part_ids = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{staging}/segments")
+        if d.startswith("part_id=")
+    )
+    meta_srcs = _data_files(f"{staging}/meta")
+    tomb_srcs = _data_files(f"{staging}/tombstones")
+    meta_files = [f"upsert{part_base}-{i}.parquet" for i in range(len(meta_srcs))]
+    tomb_files = [f"upsert{part_base}-{i}.parquet" for i in range(len(tomb_srcs))]
+    pend_dir = os.path.join(index_dir, "pending")
+    os.makedirs(pend_dir, exist_ok=True)
+    marker_path = os.path.join(pend_dir, f"upsert_{part_base}.json")
+    with open(marker_path + ".tmp", "w") as fh:
+        json.dump(
+            {
+                "part_base": part_base,
+                "part_ids": new_part_ids,
+                "meta_files": meta_files,
+                "tomb_files": tomb_files,
+                "staging": staging,
+            },
+            fh,
+        )
+    os.replace(marker_path + ".tmp", marker_path)
+
+    for pid in new_part_ids:
+        dest = os.path.join(index_dir, "segments", f"part_id={pid}")
+        shutil.rmtree(dest, ignore_errors=True)
+        os.rename(os.path.join(staging, "segments", f"part_id={pid}"), dest)
+    for src, dst in zip(meta_srcs, meta_files):
+        os.rename(
+            os.path.join(staging, "meta", src), os.path.join(index_dir, "meta", dst)
+        )
+    if tomb_srcs:
+        os.makedirs(os.path.join(index_dir, "tombstones"), exist_ok=True)
+        for src, dst in zip(tomb_srcs, tomb_files):
+            os.rename(
+                os.path.join(staging, "tombstones", src),
+                os.path.join(index_dir, "tombstones", dst),
+            )
+    for t in _SWAP_TABLES:
+        live = os.path.join(index_dir, t)
+        os.rename(live, live + f"__bak{part_base}")
+        os.rename(os.path.join(staging, t), live)
+    os.remove(marker_path)
+    for t in _SWAP_TABLES:
+        shutil.rmtree(
+            os.path.join(index_dir, t) + f"__bak{part_base}", ignore_errors=True
+        )
+    shutil.rmtree(staging, ignore_errors=True)
 
     docs.unpersist()
     existing.unpersist()
@@ -467,6 +608,7 @@ def compact(spark: SparkSession, index_dir: str, num_partitions: int | None = No
     from pyf_aggregator_spark.session import ensure_py_files
 
     ensure_py_files(spark)
+    _reconcile_pending(index_dir)
     seg = spark.read.parquet(f"{index_dir}/segments")
     tomb = load_tombstones(spark, index_dir)
     postings = _decode_live_postings(seg, tomb).drop("part_id")

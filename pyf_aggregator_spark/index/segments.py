@@ -66,14 +66,24 @@ def write_corpus_stats(index_dir: str, n_docs: int, total_len: int, avgdl: float
     import pandas as pd
 
     path = os.path.join(index_dir, "corpus")
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
+    # stage-then-rename (mirrors incremental._swap_write): a crash or a
+    # concurrent reader mid-update must never observe a missing/partial
+    # corpus table
+    tmp = path + "__new"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
     pd.DataFrame(
         {"n_docs": [int(n_docs)], "total_len": [int(total_len)],
          "avgdl": [float(avgdl)]}
     ).astype(
         {"n_docs": "int64", "total_len": "int64", "avgdl": "float64"}
-    ).to_parquet(os.path.join(path, "part-00000.parquet"), index=False)
+    ).to_parquet(os.path.join(tmp, "part-00000.parquet"), index=False)
+    old = path + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _norm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:

@@ -362,7 +362,11 @@ def _seg_with_tombstones(
 
 
 def load_index(spark: SparkSession, index_dir: str) -> dict:
-    """Handles + scalars for a segment index directory."""
+    """Handles + scalars for a segment index directory. Rolls back any
+    upsert interrupted mid-commit before reading (crash recovery)."""
+    from pyf_aggregator_spark.index.incremental import _reconcile_pending
+
+    _reconcile_pending(index_dir)
     corpus = spark.read.parquet(f"{index_dir}/corpus").collect()[0]
     avgdl = corpus["avgdl"]
     bound_factor = {

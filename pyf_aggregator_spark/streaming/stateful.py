@@ -62,12 +62,21 @@ def _sessionize_fn(
             elif ts_us - cur[1] >= _GAP_US:
                 closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
                 cur = [ts_us, ts_us, 0, 0.0]
-            cur[1] = ts_us
+            # out-of-order events (possible across micro-batches on real
+            # unbounded input) must not move session_end backwards — a
+            # shrunken end could put the timeout at/below the watermark,
+            # which raises and kills the query
+            cur[0] = min(cur[0], ts_us)
+            cur[1] = max(cur[1], ts_us)
             cur[2] += 1
             cur[3] += float(value)
         state.update(tuple(cur))
-        # close when the watermark passes session_end + GAP
-        state.setTimeoutTimestamp((cur[1] + _GAP_US) // 1000)
+        # close when the watermark passes session_end + GAP; never at or
+        # below the current watermark (guards the same failure mode when
+        # session_end itself lags the watermark)
+        state.setTimeoutTimestamp(
+            max((cur[1] + _GAP_US) // 1000, state.getCurrentWatermarkMs() + 1)
+        )
 
     if closed:
         yield pd.DataFrame(

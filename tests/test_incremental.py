@@ -311,3 +311,93 @@ def test_upsert_equals_rebuild(spark, tmp_path):
             (r["doc_id"], r["score"]) for r in rb
         ], q
     docs.unpersist()
+
+
+def test_upsert_crash_rollback_and_retry(spark, tmp_path, monkeypatch):
+    """ADVICE r2: a crash at ANY point of the upsert commit sequence
+    must not leave both doc versions live or stats half-adjusted.
+    Simulate crashes after each live-dir rename; the next index access
+    rolls back to the byte-identical pre-upsert state, and a clean
+    retry then equals a fresh rebuild."""
+    import os as _os
+
+    from pyf_aggregator_spark.index.incremental import upsert_docs
+
+    docs = (
+        assign_doc_ids(transcripts_df(spark, 600), num_partitions=2)
+        .select("doc_id", "text")
+        .persist()
+    )
+    n = docs.count()
+    d = str(tmp_path / "crashups")
+    build_segments(docs, d, num_partitions=2, lineage="b")
+    q = "w00000 w00001"
+    before = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(load_index(spark, d), q, k=10).collect()
+    ]
+    upd = spark.createDataFrame(
+        [(1, "w00000 w00000 crashy"), (n, "fresh w00001 insert")],
+        "doc_id long, text string",
+    )
+
+    real_rename = _os.rename
+    live_prefix = d + _os.sep
+    for crash_after in (0, 1, 3, 5, 7, 9):
+        calls = {"n": 0}
+
+        def rn(src, dst, _real=real_rename, calls=calls, lim=crash_after):
+            # count only commit-phase renames (dst inside the LIVE dir);
+            # staging writes keep working
+            if str(dst).startswith(live_prefix):
+                if calls["n"] >= lim:
+                    raise RuntimeError("simulated crash")
+                calls["n"] += 1
+            return _real(src, dst)
+
+        monkeypatch.setattr(_os, "rename", rn)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            upsert_docs(spark, d, upd)
+        monkeypatch.setattr(_os, "rename", real_rename)
+        after = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(load_index(spark, d), q, k=10).collect()
+        ]
+        assert after == before, f"rollback failed at crash point {crash_after}"
+        ts = spark.read.parquet(f"{d}/term_stats")
+        assert ts.groupBy("term").count().filter("count > 1").count() == 0
+
+    # clean retry after the last rollback == fresh rebuild
+    upsert_docs(spark, d, upd)
+    modified = (
+        docs.join(upd.select("doc_id"), "doc_id", "left_anti").unionByName(upd)
+    )
+    d2 = str(tmp_path / "crashref")
+    build_segments(modified, d2, num_partitions=2, lineage="r")
+    ra = wand_topk(load_index(spark, d), q, k=10).collect()
+    rb = wand_topk(load_index(spark, d2), q, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in ra] == [
+        (r["doc_id"], r["score"]) for r in rb
+    ]
+    docs.unpersist()
+
+
+def test_tombstone_tiebreak_delete_beats_upsert(spark, tmp_path):
+    """Equal scope_part: delete wins deterministically (load_tombstones
+    max_by tie-break)."""
+    from pyf_aggregator_spark.index.incremental import (
+        delete_docs,
+        load_tombstones,
+    )
+
+    docs = assign_doc_ids(transcripts_df(spark, 200), num_partitions=1)
+    d = str(tmp_path / "tie")
+    build_segments(docs.select("doc_id", "text"), d, num_partitions=1, lineage="b")
+    # upsert-kind row then delete at the SAME explicit scope
+    spark.createDataFrame(
+        [(0, 1, "upsert")], "doc_id long, scope_part long, kind string"
+    ).write.mode("append").parquet(f"{d}/tombstones")
+    delete_docs(spark, d, [0], scope_part=1)
+    for _ in range(3):
+        t = load_tombstones(spark, d).filter("doc_id = 0").collect()[0]
+        assert (t["scope_part"], t["kind"]) == (1, "delete")
