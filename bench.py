@@ -197,6 +197,21 @@ def main() -> None:
         "ft_match_all_filter_sort",
     ]
     documents_index(spark, args.sf_dir).materialize()  # warm shared index
+    # multifield: a BUILD-TIME artifact (one pass over all 5 fields) —
+    # timed as its own build phase; the ft_multifield query below then
+    # measures pure query cost on the segment/WAND path. Forced fresh so
+    # a cached /tmp artifact can't flatter the number.
+    import pyf_aggregator_spark.operators.fulltext_extra as _fx
+
+    _mf_root = os.path.join(
+        os.environ.get("PYFAGG_SEG_CACHE", "/tmp/pyfagg_segidx_v2"),
+        os.path.basename(args.sf_dir.rstrip("/")) + "__mf",
+    )
+    shutil.rmtree(_mf_root, ignore_errors=True)
+    _fx._MF_CACHE.clear()
+    t0 = time.monotonic()
+    _fx.documents_multifield_index(spark, args.sf_dir)
+    timings["build_multifield_cache"] = time.monotonic() - t0
     for name in headline:
         if name not in REGISTRY:
             continue

@@ -190,6 +190,138 @@ def _encode_partition(
     return fn
 
 
+def build_multifield_segments(
+    fields_df: DataFrame,
+    index_dir: str,
+    field_names: list[str],
+    num_partitions: int = 8,
+    block_size: int = BLOCK_SIZE,
+    lineage: str = "mf",
+) -> dict:
+    """Per-field segment indexes for weighted multi-field search, built
+    in ONE pass (the reference splits description fields at *index*
+    time — description_splitter.py:256-291; queries only read them).
+
+    fields_df(doc_id, <field columns>) → one combined artifact under
+    ``index_dir``: segments/meta/term_stats/doc_stats carry a ``field``
+    column (segments partitioned by field,part_id so a query's scan
+    prunes to its fields), corpus holds one row per field. Doc-range
+    partitions share one doc-id space across fields, so a multifield
+    query folds into a single per-partition WAND pass. BM25 stats are
+    per field: df/idf over the field's postings, avgdl over the field's
+    lengths, N = n_docs (every doc has every field, possibly empty —
+    matching the DataFrame-engine/oracle definition)."""
+    spark = fields_df.sparkSession
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+    stack_expr = "stack({}, {}) as (field, text)".format(
+        len(field_names), ", ".join(f"'{f}', {f}" for f in field_names)
+    )
+    melted = fields_df.select("doc_id", F.expr(stack_expr))
+    tokens = melted.select(
+        "doc_id", "field",
+        F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("field", "term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    ).persist()
+    doc_stats = (
+        melted.select("field", "doc_id")
+        .join(
+            tf.groupBy("field", "doc_id").agg(F.sum("tf").alias("doc_len")),
+            ["field", "doc_id"],
+            "left",
+        )
+        .select(
+            "field", "doc_id",
+            F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"),
+        )
+        .persist()
+    )
+    corpus_rows = (
+        doc_stats.groupBy("field")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("doc_len"), F.lit(0)).cast("long").alias("total_len"),
+        )
+        .collect()
+    )
+    avgdl_by_field = {
+        r["field"]: r["total_len"] / r["n_docs"] for r in corpus_rows
+    }
+    n_docs = corpus_rows[0]["n_docs"]  # identical across fields
+    docs_per_part = max(1, math.ceil(n_docs / num_partitions))
+
+    term_stats = (
+        tf.groupBy("field", "term")
+        .agg(F.count("*").cast("long").alias("df"),
+             F.sum("tf").cast("long").alias("cf"))
+        .select(
+            "field", "term", "df", "cf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    term_stats.write.mode("overwrite").parquet(f"{index_dir}/term_stats")
+    doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
+    pd.DataFrame(
+        [
+            (r["field"], int(r["n_docs"]), int(r["total_len"]),
+             avgdl_by_field[r["field"]])
+            for r in corpus_rows
+        ],
+        columns=["field", "n_docs", "total_len", "avgdl"],
+    ).to_parquet(_fresh_dir(f"{index_dir}/corpus") + "/part-00000.parquet", index=False)
+
+    def mf_encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        fld = pdf["field"].iloc[0]
+        out = _encode_partition(
+            avgdl_by_field[fld], block_size, f"{lineage}-{fld}"
+        )(pdf)
+        out.insert(0, "field", fld)
+        return out
+
+    postings = tf.join(doc_stats, ["field", "doc_id"]).withColumn(
+        "part_id", (F.col("doc_id") / docs_per_part).cast("int")
+    )
+    encoded = postings.groupBy("field", "part_id").applyInPandas(
+        mf_encode, "field string, " + SEGMENT_SCHEMA
+    ).persist()
+    encoded.filter(F.col("block_id") >= 0).write.mode("overwrite").partitionBy(
+        "field", "part_id"
+    ).parquet(f"{index_dir}/segments")
+    parts = F.split("payload", r"\|")
+    encoded.filter(F.col("block_id") == -1).select(
+        "field", "part_id", F.col("term").alias("payload")
+    ).select(
+        "field", "part_id",
+        parts.getItem(0).cast("long").alias("doc_lo"),
+        parts.getItem(1).cast("long").alias("doc_hi"),
+        parts.getItem(2).cast("long").alias("n_postings"),
+        parts.getItem(3).cast("long").alias("n_tokens"),
+        parts.getItem(4).cast("long").alias("n_terms"),
+        parts.getItem(5).cast("long").alias("n_blocks"),
+        parts.getItem(6).alias("checksum"),
+        parts.getItem(7).alias("lineage"),
+        parts.getItem(8).cast("double").alias("avgdl_build"),
+    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    encoded.unpersist()
+    tf.unpersist()
+    doc_stats.unpersist()
+    return {"n_docs": int(n_docs), "fields": list(field_names)}
+
+
+def _fresh_dir(path: str) -> str:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def build_segments(
     docs: DataFrame,
     index_dir: str,

@@ -12,11 +12,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyf_aggregator_spark.index.builder import build_index
 from pyf_aggregator_spark.index.segments import build_segments
 from pyf_aggregator_spark.oracle import sql as osql
 from pyf_aggregator_spark.registry import documents_index, load, register
-from pyf_aggregator_spark.search.engine import bm25_topk, bm25_topk_multifield
+from pyf_aggregator_spark.search.engine import bm25_topk
 from pyf_aggregator_spark.search.wand import load_index, wand_topk
 
 _SEG_CACHE: dict[tuple[int, str], dict] = {}
@@ -122,6 +121,49 @@ def _five_field_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+_MF_CACHE: dict[tuple[int, str], dict] = {}
+
+
+def documents_multifield_index(spark: SparkSession, sf_dir: str) -> dict:
+    """BUILD-TIME multifield segment artifact for the reference's
+    5-field search set — the index-time analog of the reference's
+    description splitter (description_splitter.py:256-291 runs at
+    *index* time; only queries hit the fields afterwards). All five
+    per-field posting sets are built in ONE pass over a shared doc-id
+    space (segments.build_multifield_segments), cached per tier and
+    published with an atomic rename. Query-time cost is then a pure
+    WAND pass — no re-tokenization, no per-call index construction."""
+    from pyf_aggregator_spark.index.segments import build_multifield_segments
+    from pyf_aggregator_spark.search.wand import load_multifield_index
+
+    key = (id(spark), sf_dir)
+    if key not in _MF_CACHE:
+        tier = os.path.basename(sf_dir.rstrip("/"))
+        root = os.path.join(
+            os.environ.get("PYFAGG_SEG_CACHE", "/tmp/pyfagg_segidx_v2"),
+            f"{tier}__mf",
+        )
+        if not os.path.exists(os.path.join(root, "meta")):
+            staging = f"{root}__pid{os.getpid()}"
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            fields = _five_field_docs(load(spark, sf_dir, "documents"))
+            build_multifield_segments(
+                fields, staging, list(_5F_WEIGHTS), num_partitions=8,
+                lineage=f"mf-{tier}",
+            )
+            os.makedirs(os.path.dirname(root), exist_ok=True)
+            try:
+                os.rename(staging, root)
+            except OSError:
+                shutil.rmtree(staging, ignore_errors=True)
+        idx = load_multifield_index(spark, root)
+        idx["segments"] = idx["segments"].cache()
+        _MF_CACHE[key] = idx
+    return _MF_CACHE[key]
+
+
 @register(
     "ft_multifield_5field_weighted",
     osql.bm25_multifield_sql(
@@ -133,14 +175,16 @@ def _five_field_docs(docs: DataFrame) -> DataFrame:
 def ft_multifield_5field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 query_by + query_by_weights with the reference's real
     5-field set (AGENTS.md:16-20): name,title,first_chapter,
-    main_content,changelog weighted 10,10,5,3,1. One index per field;
-    per-field scored sets union into one groupBy(doc_id) weighted sum —
-    U2 + A6 composed. Each field index shares the plan shape of the
-    single-field engine (pushed IN-filter, broadcast idf, one shuffle)."""
-    fields = _five_field_docs(load(spark, sf_dir, "documents")).persist()
-    indexes = {f: build_index(fields, text_col=f) for f in _5F_WEIGHTS}
-    out = bm25_topk_multifield(indexes, _5F_WEIGHTS, _5F_QUERY, k=25)
-    return out
+    main_content,changelog weighted 10,10,5,3,1 — served from the
+    BUILD-TIME per-field segment indexes through one block-max WAND
+    pass (weight folded into idf, per-term avgdl). The DataFrame-engine
+    twin (bm25_topk_multifield over query-time indexes) stays as the
+    pytest cross-check in tests/test_multifield_pipeline.py."""
+    from pyf_aggregator_spark.search.wand import wand_topk_multifield
+
+    return wand_topk_multifield(
+        documents_multifield_index(spark, sf_dir), _5F_WEIGHTS, _5F_QUERY, k=25
+    )
 
 
 # ---- K2/K5 point upsert, end-to-end through the segment engine. The

@@ -78,9 +78,18 @@ def _rnd(x):
 
 
 class _PartitionBlocks:
-    """Per-partition decode state shared across queries in a batch."""
+    """Per-partition decode state shared across queries in a batch.
 
-    def __init__(self, pdf: pd.DataFrame, idf_map: dict[str, float], avgdl: float):
+    ``avgdl`` is a float for single-field indexes, or a per-term dict
+    for the multifield path (field-namespaced terms score under their
+    OWN field's avgdl; the stored doc lengths are already per-field)."""
+
+    def __init__(
+        self,
+        pdf: pd.DataFrame,
+        idf_map: dict[str, float],
+        avgdl: float | dict[str, float],
+    ):
         self.idf_map = idf_map
         self.avgdl = avgdl
         self.per_term = {
@@ -91,14 +100,13 @@ class _PartitionBlocks:
     def postings(self, t: str) -> tuple[np.ndarray, np.ndarray]:
         if t not in self._decoded:
             g = self.per_term[t]
+            av = self.avgdl[t] if isinstance(self.avgdl, dict) else self.avgdl
             ids_all, scores_all = [], []
             for r in g.itertuples(index=False):
                 ids, tfs = decode_postings(r.docs_vb, r.tfs_vb)
                 dls = varbyte_decode(r.dls_vb)
                 ids_all.append(ids.astype(np.int64))
-                scores_all.append(
-                    _score_block(tfs, dls, self.idf_map[t], self.avgdl)
-                )
+                scores_all.append(_score_block(tfs, dls, self.idf_map[t], av))
             self._decoded[t] = (
                 np.concatenate(ids_all),
                 np.concatenate(scores_all),
@@ -425,6 +433,92 @@ def wand_topk(
         _wand_partition(
             idf_map, idx["avgdl"], k, mode, len(terms),
             idx.get("bound_factor", {}), filtered=allowed is not None,
+        ),
+        "doc_id long, raw_score double",
+    )
+    return (
+        local.select(
+            "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+FIELD_SEP = "\x1f"  # namespaces per-field terms in the multifield scan
+
+
+def load_multifield_index(spark: SparkSession, index_dir: str) -> dict:
+    """Handles + per-field scalars for a multifield segment artifact
+    (see segments.build_multifield_segments)."""
+    corpus = spark.read.parquet(f"{index_dir}/corpus").collect()
+    return {
+        "segments": spark.read.parquet(f"{index_dir}/segments"),
+        "term_stats": spark.read.parquet(f"{index_dir}/term_stats"),
+        "avgdl_by_field": {r["field"]: r["avgdl"] for r in corpus},
+        "dir": index_dir,
+    }
+
+
+def wand_topk_multifield(
+    idx: dict,
+    weights: dict[str, float],
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """Weighted multi-field top-k on the SEGMENT path — the scale form
+    of §2.8 query_by + query_by_weights (reference AGENTS.md:16-20).
+
+    ``idx`` is a build-time multifield artifact (build_multifield_
+    segments / load_multifield_index): per-field posting blocks over one
+    shared doc-id space, segments partitioned by (field, part_id). The
+    query folds into ONE block-max WAND pass: the scan is filtered to
+    the query terms (parquet pushdown) and the query's fields (partition
+    pruning), terms are namespaced ``field␟term``, the field weight is
+    folded into idf (score is linear in idf), and per-term avgdl routes
+    each posting through its field's BM25 normalization. Exact over the
+    combined weighted score — block upper bounds Σ w_f·idf_f·max_norm_f
+    dominate every true score, so pruning never drops a winner. No
+    query-time index construction, no per-field top-k merge error."""
+    spark = idx["segments"].sparkSession
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+    terms = sorted(set(tokenize_py(query)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    fields = sorted(weights)
+    stats = (
+        idx["term_stats"]
+        .filter(F.col("term").isin(terms) & F.col("field").isin(fields))
+        .select("field", "term", "idf")
+        .collect()
+    )
+    if not stats:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_map = {
+        r["field"] + FIELD_SEP + r["term"]: r["idf"] * weights[r["field"]]
+        for r in stats
+    }
+    avgdl_map = {
+        r["field"] + FIELD_SEP + r["term"]: idx["avgdl_by_field"][r["field"]]
+        for r in stats
+    }
+    # one scan: term IN-filter + field partition pruning pushed to the
+    # parquet read; the field namespace rides the term column so every
+    # doc-range partition answers the weighted query in one kernel pass
+    seg = (
+        idx["segments"]
+        .filter(F.col("term").isin(terms) & F.col("field").isin(fields))
+        .withColumn("term", F.concat("field", F.lit(FIELD_SEP), "term"))
+        .select(*_SEG_COLS)
+    )
+    local = seg.groupBy("part_id").applyInPandas(
+        _wand_partition(
+            # static build-time artifact: no incremental appends, so no
+            # bound inflation is ever needed (factor 1.0 everywhere)
+            idf_map, avgdl_map, k, "or", len(idf_map), {}
         ),
         "doc_id long, raw_score double",
     )

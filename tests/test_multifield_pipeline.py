@@ -83,3 +83,32 @@ def test_splitter_fed_weighted_search(spark):
     assert ranked[2] == 2 and ranked[3] == 1
     assert 3 not in ranked
     split.unpersist()
+
+
+def test_wand_multifield_matches_dataframe_engine(spark, sf_dir, tmp_path, monkeypatch):
+    """The graded 5-field weighted query runs on the segment/WAND path
+    against a BUILD-TIME multifield artifact; it must stay rank- and
+    score-identical to the DataFrame engine computing the full weighted
+    sum from scratch (which is itself oracle-checked by the driver)."""
+    import pyf_aggregator_spark.operators.fulltext_extra as fx
+    from pyf_aggregator_spark.index.builder import build_index
+    from pyf_aggregator_spark.registry import load
+    from pyf_aggregator_spark.search.engine import bm25_topk_multifield
+    from pyf_aggregator_spark.search.wand import wand_topk_multifield
+
+    monkeypatch.setenv("PYFAGG_SEG_CACHE", str(tmp_path / "segcache"))
+    monkeypatch.setattr(fx, "_MF_CACHE", {})
+    mf = fx.documents_multifield_index(spark, sf_dir)
+    fields = fx._five_field_docs(load(spark, sf_dir, "documents")).persist()
+    idxs = {f: build_index(fields, text_col=f) for f in fx._5F_WEIGHTS}
+    for q in [fx._5F_QUERY, "spark", "vector window src3", "zzz-no-hit", ""]:
+        a = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk_multifield(mf, fx._5F_WEIGHTS, q, k=25).collect()
+        ]
+        b = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_multifield(idxs, fx._5F_WEIGHTS, q, k=25).collect()
+        ]
+        assert a == b, q
+    fields.unpersist()
