@@ -120,16 +120,19 @@ ALLOWED_BLOCK_ID = -3
 
 def _split_tombstones(
     pdf: pd.DataFrame,
-) -> tuple[pd.DataFrame, np.ndarray, np.ndarray | None]:
+) -> tuple[pd.DataFrame, np.ndarray, dict[str, np.ndarray] | None]:
     """Split sentinel rows out of a partition's kernel input: tombstones
-    (block_id == -2) and the filtered-search allow-set (block_id == -3),
-    each carrying its doc_id in first_doc. Both ship to their owning
-    partition through the same shuffle as the blocks — no driver-side
-    set, no closure bloat (VERDICT r1 'what's wrong' #2).
+    (block_id == -2) and filtered-search allow-sets (block_id == -3),
+    each carrying its doc_id in first_doc. Allow-set sentinels carry
+    their OWNER in the (otherwise unused) term column: '' for the
+    single-query path, the query_id for batch queries — so one shuffle
+    ships every query's filter to its partitions. No driver-side set,
+    no closure bloat (VERDICT r1 'what's wrong' #2).
 
-    Returns (blocks, tomb_ids, allowed_ids); allowed_ids is None when no
-    filter is active (filtered search with an empty per-partition allow
-    set still yields an empty array — correctly matching nothing)."""
+    Returns (blocks, tomb_ids, allowed_map); allowed_map is None when no
+    filter rows arrived (a filtered query with an empty per-partition
+    allow set is handled by the caller's `filtered` flag — it correctly
+    matches nothing)."""
     bid = pdf["block_id"].to_numpy()
     tomb_mask = bid == TOMBSTONE_BLOCK_ID
     allow_mask = bid == ALLOWED_BLOCK_ID
@@ -138,14 +141,15 @@ def _split_tombstones(
         if tomb_mask.any()
         else np.empty(0, dtype=np.int64)
     )
-    allowed = (
-        np.unique(pdf.loc[allow_mask, "first_doc"].to_numpy(np.int64))
-        if allow_mask.any()
-        else None
-    )
+    allowed_map = None
+    if allow_mask.any():
+        allowed_map = {
+            owner: np.unique(g.to_numpy(np.int64))
+            for owner, g in pdf.loc[allow_mask].groupby("term")["first_doc"]
+        }
     if tomb_mask.any() or allow_mask.any():
         pdf = pdf.loc[~(tomb_mask | allow_mask)]
-    return pdf, tomb_ids, allowed
+    return pdf, tomb_ids, allowed_map
 
 
 def _topk_one_query(
@@ -261,7 +265,8 @@ def _wand_partition(idf_map: dict[str, float], avgdl: float, k: int, mode: str,
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         part_id = int(pdf["part_id"].iloc[0])
-        pdf, tomb_ids, allowed = _split_tombstones(pdf)
+        pdf, tomb_ids, allowed_map = _split_tombstones(pdf)
+        allowed = (allowed_map or {}).get("")
         if filtered and allowed is None:
             allowed = np.empty(0, dtype=np.int64)
         if pdf.empty or (filtered and allowed.size == 0):
@@ -290,7 +295,8 @@ def _wand_partition_batch(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         part_id = int(pdf["part_id"].iloc[0])
         factor = bound_factor.get(part_id, 1.0)
-        pdf, tomb_ids, _allowed = _split_tombstones(pdf)
+        pdf, tomb_ids, allowed_map = _split_tombstones(pdf)
+        allowed_map = allowed_map or {}
         if pdf.empty:
             return pd.DataFrame({"query_id": [], "doc_id": [], "raw_score": []}).astype(
                 {"query_id": "str", "doc_id": "int64", "raw_score": "float64"}
@@ -298,9 +304,17 @@ def _wand_partition_batch(
         blocks = _PartitionBlocks(pdf, idf_map, avgdl)
         out_q, out_d, out_s = [], [], []
         for q in queries:
+            if q.get("filtered"):
+                # per-query allow-set (§2.8 filter_by in a batch): an
+                # absent entry means NO allowed docs in this partition
+                allowed = allowed_map.get(q["query_id"])
+                if allowed is None:
+                    continue
+            else:
+                allowed = None
             hits = _topk_one_query(
                 blocks, q["terms"], q["k"], q["mode"], q["n_terms"],
-                factor, tomb_ids,
+                factor, tomb_ids, allowed,
             )
             for d, s in hits:
                 out_q.append(q["query_id"])
@@ -328,15 +342,21 @@ def _sentinel_rows(ranges: DataFrame, ids: DataFrame, block_id: int) -> DataFram
     postings anywhere map to no part and are correctly dropped. When
     ``ids`` carries a scope_part column (tombstones), the sentinel only
     lands in parts BELOW the scope — newer parts keep the doc's
-    re-added version."""
+    re-added version. An ``owner`` column (batch allow-sets) rides the
+    term slot so the kernel can route each filter to its query."""
     cond = (F.col("doc_id") >= F.col("doc_lo")) & (
         F.col("doc_id") <= F.col("doc_hi")
     )
     if "scope_part" in ids.columns:
         cond = cond & (F.col("part_id") < F.col("scope_part"))
+    term_col = (
+        F.coalesce(F.col("owner"), F.lit(""))
+        if "owner" in ids.columns
+        else F.lit("")
+    )
     return ids.join(F.broadcast(ranges), cond).select(
         F.col("part_id").cast("int").alias("part_id"),
-        F.lit("").alias("term"),
+        term_col.alias("term"),
         F.lit(block_id).alias("block_id"),
         F.lit(1).alias("n"),
         F.col("doc_id").cast("long").alias("first_doc"),
@@ -363,8 +383,9 @@ def _seg_with_tombstones(
     if tomb is not None:
         out = out.unionByName(_sentinel_rows(ranges, tomb, TOMBSTONE_BLOCK_ID))
     if allowed is not None:
+        cols = ["doc_id"] + (["owner"] if "owner" in allowed.columns else [])
         out = out.unionByName(
-            _sentinel_rows(ranges, allowed.select("doc_id"), ALLOWED_BLOCK_ID)
+            _sentinel_rows(ranges, allowed.select(*cols), ALLOWED_BLOCK_ID)
         )
     return out
 
@@ -532,12 +553,19 @@ def wand_topk_multifield(
 
 
 def wand_topk_batch(idx: dict, queries: list[dict]) -> DataFrame:
-    """Batch segment-path execution: [{query_id, query, mode, k}] →
-    DataFrame(query_id, rank, doc_id, score), ONE Spark job for the
-    whole set. The segment scan filters on the union of all query terms
-    (pushed down), each partition answers every query against its
-    blocks with shared decodes, and a per-query window takes the final
-    top-k."""
+    """Batch segment-path execution: [{query_id, query, mode, k,
+    allowed?}] → DataFrame(query_id, rank, doc_id, score), ONE Spark job
+    for the whole set. The segment scan filters on the union of all
+    query terms (pushed down), each partition answers every query
+    against its blocks with shared decodes, and a per-query window takes
+    the final top-k.
+
+    ``allowed`` (optional per query, DataFrame of doc_id) is the §2.8
+    filter_by pushdown on the batch path: every query's allow-set rides
+    the SAME partition shuffle as the blocks, labeled with its query_id
+    in the sentinel's term slot, and is applied inside the kernel
+    pre-heap — filtered and unfiltered queries mix freely in one
+    batch."""
     from pyspark.sql import Window
 
     from pyf_aggregator_spark.session import ensure_py_files
@@ -556,6 +584,7 @@ def wand_topk_batch(idx: dict, queries: list[dict]) -> DataFrame:
     )
     idf_map = {r["term"]: r["idf"] for r in idf_rows}
     qspec = []
+    allow_parts = []
     for q in queries:
         terms = sorted(set(tokenize_py(q["query"])))
         present = [t for t in terms if t in idf_map]
@@ -568,14 +597,27 @@ def wand_topk_batch(idx: dict, queries: list[dict]) -> DataFrame:
                 "mode": q["mode"],
                 "k": q.get("k", 10),
                 "n_terms": len(terms),
+                "filtered": q.get("allowed") is not None,
             }
         )
+        if q.get("allowed") is not None:
+            allow_parts.append(
+                q["allowed"].select(
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.lit(q["query_id"]).alias("owner"),
+                )
+            )
     if not qspec:
         return spark.createDataFrame(
             [], "query_id string, rank int, doc_id long, score double"
         )
+    allowed = None
+    if allow_parts:
+        allowed = allow_parts[0]
+        for a in allow_parts[1:]:
+            allowed = allowed.unionByName(a)
     seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
-    local = _seg_with_tombstones(idx, seg).groupBy("part_id").applyInPandas(
+    local = _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
         _wand_partition_batch(
             qspec, idf_map, idx["avgdl"], idx.get("bound_factor", {})
         ),

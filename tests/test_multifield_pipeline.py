@@ -112,3 +112,20 @@ def test_wand_multifield_matches_dataframe_engine(spark, sf_dir, tmp_path, monke
         ]
         assert a == b, q
     fields.unpersist()
+
+
+def test_grouped_search_wand_matches_df_engine(spark, sf_dir):
+    """Grouped search on the segment engine ≡ the DataFrame-engine twin
+    (same candidates, same per-group windows)."""
+    from pyf_aggregator_spark.operators.fulltext_extra import grouped_search
+
+    a = grouped_search(
+        spark, sf_dir, "spark vector window", "lang", group_limit=2,
+        engine="wand",
+    ).collect()
+    b = grouped_search(
+        spark, sf_dir, "spark vector window", "lang", group_limit=2,
+        engine="df",
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0

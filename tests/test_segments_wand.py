@@ -150,3 +150,57 @@ def test_wand_filtered_empty_allowed(built):
     allowed = docs.filter(F_lit_false := (docs.doc_id < 0)).select("doc_id")
     got = wand_topk(idx, "w00000", k=5, mode="or", allowed=allowed).collect()
     assert got == []
+
+
+def test_wand_batch_per_query_disjoint_filters(built):
+    """Batch path filter_by: three queries with DISJOINT allow-sets plus
+    one unfiltered, answered in ONE job; each must equal its own
+    single-query filtered run (per-query sentinel routing — a shared or
+    leaked allow-set would cross-contaminate the results)."""
+    from pyspark.sql import functions as F
+
+    from pyf_aggregator_spark.search.wand import wand_topk_batch
+
+    spark, docs, index_dir, _, _ = built
+    idx = load_index(spark, index_dir)
+    mod3 = {
+        m: docs.filter(F.col("doc_id") % 3 == m).select("doc_id")
+        for m in range(3)
+    }
+    batch = [
+        {"query_id": f"f{m}", "query": "w00000 w00001", "mode": "or",
+         "k": 8, "allowed": mod3[m]}
+        for m in range(3)
+    ] + [{"query_id": "nf", "query": "w00000 w00001", "mode": "or", "k": 8}]
+    got = wand_topk_batch(idx, batch).toPandas()
+    for m in range(3):
+        single = wand_topk(
+            idx, "w00000 w00001", k=8, mode="or", allowed=mod3[m]
+        ).collect()
+        sub = got[got["query_id"] == f"f{m}"].sort_values("rank")
+        assert list(zip(sub["doc_id"], sub["score"])) == [
+            (r["doc_id"], r["score"]) for r in single
+        ], m
+        assert all(d % 3 == m for d in sub["doc_id"])
+    single_nf = wand_topk(idx, "w00000 w00001", k=8, mode="or").collect()
+    sub = got[got["query_id"] == "nf"].sort_values("rank")
+    assert list(zip(sub["doc_id"], sub["score"])) == [
+        (r["doc_id"], r["score"]) for r in single_nf
+    ]
+
+
+def test_wand_batch_filtered_empty_allowed(built):
+    """A filtered batch query whose allow-set is empty matches nothing
+    (and must not fall back to unfiltered)."""
+    from pyf_aggregator_spark.search.wand import wand_topk_batch
+
+    spark, docs, index_dir, _, _ = built
+    idx = load_index(spark, index_dir)
+    batch = [
+        {"query_id": "e", "query": "w00000", "mode": "or", "k": 5,
+         "allowed": docs.filter(docs.doc_id < 0).select("doc_id")},
+        {"query_id": "u", "query": "w00000", "mode": "or", "k": 5},
+    ]
+    got = wand_topk_batch(idx, batch).toPandas()
+    assert (got["query_id"] == "e").sum() == 0
+    assert (got["query_id"] == "u").sum() == 5
