@@ -290,6 +290,8 @@ _SIMHASH_BANDS = 4  # 8 bits each → catches ALL pairs with hamming ≤ 3
 _HAMMING_MAX = 3
 _HEX_HIGH = "'8','9','a','b','c','d','e','f'"
 
+_SIMHASH_HOT_CAP = 100  # (band,bucket) groups above this skip pair gen
+
 _SIMHASH_INT_SQL = " + ".join(
     f"CASE WHEN sum(CASE WHEN substr(md5(t), {j}, 1) IN ({_HEX_HIGH}) "
     f"THEN 1 ELSE -1 END) > 0 THEN {1 << (_SIMHASH_BITS - j)}::BIGINT "
@@ -298,49 +300,14 @@ _SIMHASH_INT_SQL = " + ".join(
 )
 
 
-@register(
-    "dedup_simhash_pairs",
-    f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(list_filter(
-        string_split_regex(lower(text), '[\\s.\\-_@/]+'), t -> t <> '')) AS t
-      FROM documents
-    ),
-    sig AS (
-      SELECT doc_id, ({_SIMHASH_INT_SQL}) AS sim
-      FROM tok GROUP BY doc_id
-    ),
-    bands AS (
-      SELECT doc_id, sim, b, (sim >> (8 * b)) & 255 AS bucket
-      FROM sig, unnest([0, 1, 2, 3]) AS u(b)
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2,
-             a.sim AS s1, c.sim AS s2
-      FROM bands a JOIN bands c
-        ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
-    )
-    SELECT doc1, doc2, bit_count(xor(s1, s2)) AS hamming
-    FROM cand WHERE bit_count(xor(s1, s2)) <= {_HAMMING_MAX}
-    ORDER BY doc1, doc2
-    """,
-)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS: 32-bit signature (bit j = majority vote
-    of md5-nibble-j high bits over token occurrences, portable across
-    engines) → 4 bands of 8 bits → band-bucket equi-join for candidates
-    → exact Hamming verify (bit_count of xor) ≤ 3.
-
-    4×8 banding is exhaustive for hamming ≤ 3 (pigeonhole: 3 flipped
-    bits can't touch all 4 bands), so the bucket join finds every
-    qualifying pair while scanning only same-bucket candidates — the
-    same candidates-only scale shape as MinHash-LSH. One groupBy for
-    signatures, one equi-join shuffle on (band, bucket)."""
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) → (doc_id, sim): 32-bit SimHash (bit j =
+    majority vote of md5-nibble-j high bits over token occurrences,
+    portable across engines). One groupBy shuffle."""
     from functools import reduce
     from operator import add
 
-    d = load(spark, sf_dir, "documents")
-    tok = d.select(
+    tok = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
     ).withColumn("h", F.md5(F.col("t").cast("binary")))
     votes = [
@@ -361,7 +328,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(1, _SIMHASH_BITS + 1)
         ],
     )
-    sig = agg.select("doc_id", sim.alias("sim"))
+    return agg.select("doc_id", sim.alias("sim"))
+
+
+def _simhash_candidates(
+    sig: DataFrame, hot_bucket_cap: int | None = None
+) -> DataFrame:
+    """Band-bucket candidate pairs (doc1, doc2, s1, s2). Buckets larger
+    than ``hot_bucket_cap`` are excluded from pair generation — a
+    boilerplate-heavy corpus (identical headers, empty docs) piles into
+    one 8-bit bucket whose self-join is quadratic; the cap bounds it at
+    cap² per bucket (same guard as minhash_lsh_pairs). Exact Hamming
+    verify downstream keeps precision; a capped pair is still found via
+    any OTHER band it shares below the cap."""
     bands = sig.select(
         "doc_id",
         "sim",
@@ -379,23 +358,91 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sim", "bb.band", "bb.bucket")
+    if hot_bucket_cap is not None:
+        ok = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count("*").alias("bn"))
+            .filter((F.col("bn") >= 2) & (F.col("bn") <= hot_bucket_cap))
+            .select("band", "bucket")
+        )
+        bands = bands.join(ok, ["band", "bucket"], "left_semi")
     a = bands.select(
         F.col("doc_id").alias("doc1"), F.col("sim").alias("s1"), "band", "bucket"
     )
     c = bands.select(
         F.col("doc_id").alias("doc2"), F.col("sim").alias("s2"), "band", "bucket"
     )
-    cand = (
+    return (
         a.join(c, ["band", "bucket"])
         .filter(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2", "s1", "s2")
         .distinct()
     )
+
+
+def simhash_pairs(
+    docs: DataFrame, hot_bucket_cap: int | None = None
+) -> DataFrame:
+    """SimHash near-dup PAIRS: signature → 4 bands of 8 bits →
+    band-bucket equi-join for candidates (optionally hot-bucket-capped)
+    → exact Hamming verify (bit_count of xor) ≤ 3."""
+    cand = _simhash_candidates(simhash_signatures(docs), hot_bucket_cap)
     ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return (
         cand.filter(ham <= _HAMMING_MAX)
         .select("doc1", "doc2", ham.alias("hamming"))
         .orderBy("doc1", "doc2")
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split_regex(lower(text), '[\\s.\\-_@/]+'), t -> t <> '')) AS t
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, ({_SIMHASH_INT_SQL}) AS sim
+      FROM tok GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, sim, b, (sim >> (8 * b)) & 255 AS bucket
+      FROM sig, unnest([0, 1, 2, 3]) AS u(b)
+    ),
+    okb AS (
+      SELECT b, bucket FROM bands GROUP BY b, bucket
+      HAVING count(*) BETWEEN 2 AND {_SIMHASH_HOT_CAP}
+    ),
+    capped AS (
+      SELECT bands.* FROM bands JOIN okb USING (b, bucket)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2,
+             a.sim AS s1, c.sim AS s2
+      FROM capped a JOIN capped c
+        ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    )
+    SELECT doc1, doc2, bit_count(xor(s1, s2)) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= {_HAMMING_MAX}
+    ORDER BY doc1, doc2
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: 32-bit signature → 4 bands of 8 bits →
+    hot-bucket-capped band-bucket equi-join for candidates → exact
+    Hamming verify (bit_count of xor) ≤ 3.
+
+    4×8 banding is exhaustive for hamming ≤ 3 (pigeonhole: 3 flipped
+    bits can't touch all 4 bands) on uncapped buckets, so the bucket
+    join finds every qualifying pair while scanning only same-bucket
+    candidates — the same candidates-only scale shape as MinHash-LSH.
+    The hot-bucket cap (_SIMHASH_HOT_CAP, mirrored in the oracle SQL)
+    bounds the quadratic blowup of a degenerate boilerplate bucket. One
+    groupBy for signatures, one equi-join shuffle on (band, bucket)."""
+    return simhash_pairs(
+        load(spark, sf_dir, "documents"), hot_bucket_cap=_SIMHASH_HOT_CAP
     )
 
 
