@@ -144,7 +144,7 @@ _ORDER = [
     # training-pipeline: dedup + ANN + multimodal
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
     "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "sim_cosine_topk_brute", "sim_cosine_topk_ivf", "mm_decode_metadata",
+    "sim_cosine_topk_brute", "sim_ivf_learned_batch", "mm_decode_metadata",
     # HTML family + JSON + skew
     "c5c6_description_split", "c7_badge_detection",
     "c13_json_restructure", "skew_salted_event_agg",

@@ -68,3 +68,22 @@ def test_ivf_batch_recall_vs_brute(spark):
         assert min(by_q_got[q]) <= q
     e.unpersist()
     assigned.unpersist()
+
+
+def test_label_ivf_matches_sql_oracle(spark):
+    """The label-centroid IVF (ungraded precursor) stays pinned to its
+    DuckDB oracle now that the graded row moved to the learned path."""
+    import duckdb
+
+    from pyf_aggregator_spark.operators.similarity import (
+        _LABEL_IVF_SQL,
+        sim_cosine_topk_ivf,
+    )
+
+    got = sorted(tuple(r) for r in sim_cosine_topk_ivf(spark, SF).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(_LABEL_IVF_SQL).fetchall())
+    assert got == want
