@@ -201,3 +201,274 @@ def test_badge_detection(spark):
     )
     got = [r["id"] for r in df.filter(is_badge_url("url")).collect()]
     assert got == [1]
+
+
+# ------------------------------------------------ round-3 golden breadth
+# Behavior parity with the reference's expected-output tables
+# (tests/test_description_splitter.py:279-1067, tests/test_rst_to_html
+# .py:70-319) on freshly-written fixtures.
+
+# ---- title extraction
+
+
+def test_title_is_plain_text_inside_markup():
+    got = split_description_py(
+        "<h2>Name with <strong>emphasis</strong> inside</h2><p>c</p>"
+    )
+    assert got["title"] == "Name with emphasis inside"
+    assert "<" not in got["title"]
+
+
+def test_title_whitespace_stripped():
+    got = split_description_py("<h2>   Padded Name \n</h2><p>c</p>")
+    assert got["title"] == "Padded Name"
+
+
+def test_title_multiple_h2_uses_first():
+    got = split_description_py("<h2>First</h2><p>a</p><h2>Second</h2><p>b</p>")
+    assert got["title"] == "First"
+
+
+# ---- first chapter / main content boundaries
+
+
+def test_single_heading_all_in_first_chapter_main_empty():
+    got = split_description_py("<h2>Only</h2><p>alpha</p><p>beta</p>")
+    assert got["first_chapter"] == "<h2>Only</h2><p>alpha</p><p>beta</p>"
+    assert got["main_content"] == ""
+    assert got["changelog"] == ""
+
+
+def test_main_content_spans_middle_sections():
+    got = split_description_py(
+        "<h2>T</h2><p>fcbody</p><h2>Install</h2><p>instbody</p>"
+        "<h2>Usage</h2><p>usebody</p><h2>History</h2><p>histbody</p>"
+    )
+    assert "Install" in got["main_content"] and "Usage" in got["main_content"]
+    assert "fcbody" not in got["main_content"]
+    assert "histbody" not in got["main_content"]
+
+
+def test_starts_with_text_and_changelog():
+    got = split_description_py(
+        "<p>lead-in text</p><h2>Docs</h2><p>d</p><h2>Changes</h2><p>c</p>"
+    )
+    assert got["title"] == "Docs"
+    assert got["first_chapter"] == "<p>lead-in text</p>"
+    assert got["main_content"] == "<h2>Docs</h2><p>d</p>"
+    assert got["changelog"] == "<h2>Changes</h2><p>c</p>"
+
+
+def test_only_changelog_after_intro_main_empty():
+    got = split_description_py(
+        "<h2>T</h2><p>intro</p><h2>Changelog</h2><p>entries</p>"
+    )
+    assert got["main_content"] == ""
+    assert "entries" in got["changelog"]
+
+
+# ---- heading levels beyond h2
+
+
+def test_h4_only_title_and_split():
+    got = split_description_py("<h4>Quiet Pkg</h4><p>a</p><h4>Next</h4><p>b</p>")
+    assert got["title"] == "Quiet Pkg"
+    assert got["first_chapter"] == "<h4>Quiet Pkg</h4><p>a</p>"
+    assert got["main_content"] == "<h4>Next</h4><p>b</p>"
+
+
+def test_mixed_h4_h5_split_at_second_heading():
+    got = split_description_py("<h4>Top</h4><p>a</p><h5>Sub</h5><p>b</p>")
+    assert got["title"] == "Top"
+    assert got["first_chapter"] == "<h4>Top</h4><p>a</p>"
+    assert got["main_content"] == "<h5>Sub</h5><p>b</p>"
+
+
+def test_h1_title_splits_at_h2():
+    got = split_description_py("<h1>Big</h1><p>a</p><h2>Small</h2><p>b</p>")
+    assert got["title"] == "Big"
+    assert got["first_chapter"] == "<h1>Big</h1><p>a</p>"
+    assert got["main_content"] == "<h2>Small</h2><p>b</p>"
+
+
+def test_h3_and_h6_changelog_detected():
+    got3 = split_description_py(
+        "<h2>T</h2><p>i</p><h2>More</h2><p>m</p><h3>Changelog</h3><p>c3</p>"
+    )
+    assert "c3" in got3["changelog"] and "c3" not in got3["main_content"]
+    got6 = split_description_py(
+        "<h2>T</h2><p>i</p><h2>More</h2><p>m</p><h6>History</h6><p>c6</p>"
+    )
+    assert "c6" in got6["changelog"]
+
+
+def test_changelog_case_insensitive_and_subsections():
+    got = split_description_py(
+        "<h2>T</h2><p>i</p><h2>CHANGELOG</h2><h3>2.0</h3><p>newer</p>"
+        "<h3>1.0</h3><p>older</p>"
+    )
+    assert got["changelog"] == (
+        "<h2>CHANGELOG</h2><h3>2.0</h3><p>newer</p><h3>1.0</h3><p>older</p>"
+    )
+
+
+# ---- degenerate inputs
+
+
+def test_none_empty_whitespace_inputs():
+    for raw in (None, "", "   \n  "):
+        got = split_description_py(raw)
+        assert got == {
+            "title": "", "first_chapter": "", "main_content": "",
+            "changelog": "",
+        }, repr(raw)
+
+
+def test_unclosed_element_kept():
+    got = split_description_py("<p>never closed")
+    assert "never closed" in got["first_chapter"]
+
+
+def test_bare_top_level_text_dropped():
+    got = split_description_py("loose text<p>kept</p>")
+    assert got["first_chapter"] == "<p>kept</p>"
+
+
+# ---- section flattening depth
+
+
+def test_deeply_nested_sections_flatten():
+    got = split_description_py(
+        "<section><section><h2>Deep Title</h2><p>fc</p></section>"
+        "<section><section><h2>Inner Usage</h2><p>u</p></section></section>"
+        "</section>"
+    )
+    assert got["title"] == "Deep Title"
+    assert got["first_chapter"] == "<h2>Deep Title</h2><p>fc</p>"
+    assert got["main_content"] == "<h2>Inner Usage</h2><p>u</p>"
+
+
+def test_single_section_all_first_chapter():
+    got = split_description_py(
+        '<section id="one"><h2>Solo</h2><p>body</p></section>'
+    )
+    assert got["first_chapter"] == "<h2>Solo</h2><p>body</p>"
+    assert got["main_content"] == ""
+
+
+# ---- strip helpers, edge grid
+
+
+def test_strip_images_variants():
+    assert strip_images('x<img src="a.png">y<img alt="b" src="b.png">z') == "xyz"
+    assert strip_images('<img src="a" width="20" data-x="1">') == ""
+    assert strip_images("") == ""
+    assert strip_images(None) == ""
+    assert strip_images("<p>keep <em>tags</em></p>") == "<p>keep <em>tags</em></p>"
+
+
+def test_strip_links_variants():
+    assert strip_links('<a href="u">one</a> <a id="z">two</a>') == "one two"
+    assert strip_links('<a href="u"><em>styled</em> text</a>') == "<em>styled</em> text"
+    assert strip_links("") == ""
+    assert strip_links(None) == ""
+    assert strip_links("<p>no links</p>") == "<p>no links</p>"
+
+
+def test_changelog_and_main_keep_links_and_images():
+    got = split_description_py(
+        '<h2>T</h2><p>fc <a href="x">l</a></p>'
+        '<h2>Mid</h2><p><a href="m">mlink</a><img src="mi.png"></p>'
+        '<h2>History</h2><p><a href="c">clink</a><img src="ci.png"></p>'
+    )
+    assert "<a" not in got["first_chapter"] and "<img" not in got["first_chapter"]
+    assert '<a href="m">mlink</a>' in got["main_content"]
+    assert '<img src="mi.png">' in got["main_content"]
+    assert '<a href="c">clink</a>' in got["changelog"]
+    assert '<img src="ci.png">' in got["changelog"]
+
+
+def test_multiple_links_in_first_chapter_all_stripped():
+    got = split_description_py(
+        '<p><a href="1">a</a> mid <a href="2">b</a> end</p><h2>N</h2><p>m</p>'
+    )
+    assert got["first_chapter"] == "<p>a mid b end</p>"
+
+
+# ---- summary prepend rules
+
+
+def test_summary_with_starts_with_text():
+    got = split_description_py("<p>intro</p><h2>T</h2><p>m</p>", "a summary")
+    assert got["first_chapter"] == "a summary\n\n<p>intro</p>"
+
+
+def test_summary_with_none_description():
+    got = split_description_py(None, "just the summary")
+    assert got["first_chapter"] == "just the summary"
+    assert got["title"] == ""
+
+
+# ---- heading normalization (C5)
+
+
+def test_normalize_none_and_empty_passthrough():
+    assert normalize_headings_py(None) is None
+    assert normalize_headings_py("") == ""
+
+
+def test_normalize_preserves_attributes_and_nesting():
+    got = normalize_headings_py(
+        '<h1 id="top" class="t">A</h1><div><h2 data-k="v">B</h2></div>'
+    )
+    assert got == '<h2 id="top" class="t">A</h2><div><h3 data-k="v">B</h3></div>'
+
+
+def test_normalize_shifts_every_level_once():
+    got = normalize_headings_py(
+        "<h1>a</h1><h2>b</h2><h3>c</h3><h4>d</h4><h5>e</h5><h6>f</h6>"
+    )
+    assert got == (
+        "<h2>a</h2><h3>b</h3><h4>c</h4><h5>d</h5><h6>e</h6><h6>f</h6>"
+    )
+
+
+def test_normalize_without_headings_unchanged():
+    s = "<p>h1-free body with <code>h1</code> text</p>"
+    assert normalize_headings_py(s) == s
+
+
+# ---- render integration (C5 end-to-end)
+
+
+def test_rst_multiple_titles_full_conversion():
+    rst = (
+        "Alpha\n=====\n\nintro paragraph\n\nBeta\n----\n\n- item one\n"
+        "- item two\n\nGamma\n-----\n\nfinal words\n"
+    )
+    html = render_description_py(rst, "text/x-rst")
+    assert "<h1" not in html  # demoted
+    got = split_description_py(html)
+    assert got["title"] == "Alpha"
+    assert "intro paragraph" in got["first_chapter"]
+    assert "item one" in got["main_content"]
+    assert "final words" in got["main_content"]
+
+
+def test_markdown_render_none_and_empty():
+    assert render_description_py(None, "text/markdown") == ""
+    assert render_description_py("", "text/markdown") == ""
+
+
+def test_markdown_lists_and_paragraphs_preserved_through_split():
+    md = "# Pkg\n\nlead para\n\n## Use\n\n- do this\n- then that\n"
+    got = split_description_py(render_description_py(md, "text/markdown"))
+    assert got["title"] == "Pkg"
+    assert "lead para" in got["first_chapter"]
+    assert "<li>do this</li>" in got["main_content"]
+
+
+def test_unknown_content_type_falls_back_to_rst():
+    html = render_description_py("Zed\n===\n\nbody\n", "application/unknown")
+    got = split_description_py(html)
+    assert got["title"] == "Zed"
