@@ -177,12 +177,17 @@ def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
         .groupBy("doc_id")
         .agg(
             F.max("scope_part").alias("scope_part"),
-            # deterministic tie-break at equal scope_part: delete beats
-            # upsert (max_by alone has unspecified tie order — a delete
-            # and an upsert sharing a scope would flip the doc's
-            # live/dead status run to run)
+            # deterministic tie-break at equal scope_part: UPSERT beats
+            # delete (max_by alone has unspecified tie order — the
+            # winner would flip run to run). Equal scopes can only mean
+            # the delete came FIRST: an upsert with scope s appends its
+            # new version as part s, so any later delete sees max part
+            # ≥ s and gets scope ≥ s+1. The upsert's live version in
+    # part ≥ s therefore stands (the posting-level scope filter
+            # already keeps it; this keeps compact's doc_stats carry in
+            # agreement).
             F.expr(
-                "max_by(kind, struct(scope_part, cast(kind = 'delete' as int)))"
+                "max_by(kind, struct(scope_part, cast(kind = 'upsert' as int)))"
             ).alias("kind"),
         )
     )

@@ -382,9 +382,13 @@ def test_upsert_crash_rollback_and_retry(spark, tmp_path, monkeypatch):
     docs.unpersist()
 
 
-def test_tombstone_tiebreak_delete_beats_upsert(spark, tmp_path):
-    """Equal scope_part: delete wins deterministically (load_tombstones
-    max_by tie-break)."""
+def test_tombstone_tiebreak_upsert_beats_delete(spark, tmp_path):
+    """Equal scope_part: UPSERT wins deterministically. Equal scopes
+    only arise when the delete came first (an upsert's own append bumps
+    max part, so a later delete gets a strictly higher scope), so the
+    upsert's live newer version must stand — compact's doc_stats carry
+    depends on this (churn soak would otherwise drop resurrected
+    docs)."""
     from pyf_aggregator_spark.index.incremental import (
         delete_docs,
         load_tombstones,
@@ -393,11 +397,106 @@ def test_tombstone_tiebreak_delete_beats_upsert(spark, tmp_path):
     docs = assign_doc_ids(transcripts_df(spark, 200), num_partitions=1)
     d = str(tmp_path / "tie")
     build_segments(docs.select("doc_id", "text"), d, num_partitions=1, lineage="b")
-    # upsert-kind row then delete at the SAME explicit scope
+    # delete first, then an upsert-kind row at the SAME explicit scope
+    delete_docs(spark, d, [0], scope_part=1)
     spark.createDataFrame(
         [(0, 1, "upsert")], "doc_id long, scope_part long, kind string"
     ).write.mode("append").parquet(f"{d}/tombstones")
-    delete_docs(spark, d, [0], scope_part=1)
     for _ in range(3):
         t = load_tombstones(spark, d).filter("doc_id = 0").collect()[0]
-        assert (t["scope_part"], t["kind"]) == (1, "delete")
+        assert (t["scope_part"], t["kind"]) == (1, "upsert")
+
+
+def test_churn_soak_upsert_delete_compact(spark, tmp_path):
+    """Soak: interleaved batched upserts (incl. resurrecting deleted
+    ids), deletes and compactions; after EVERY phase the index must be
+    rank-identical to a fresh rebuild over the tracked corpus state —
+    guarding the scoped-tombstone max(scope) semantics under churn."""
+    from pyf_aggregator_spark.index.incremental import (
+        compact,
+        delete_docs,
+        upsert_docs,
+    )
+
+    base = assign_doc_ids(transcripts_df(spark, 1200), num_partitions=2)
+    pdf = base.select("doc_id", "text").toPandas()
+    state = dict(zip(pdf["doc_id"].astype(int), pdf["text"]))  # driver oracle
+    n0 = len(state)
+    d = str(tmp_path / "soak")
+    build_segments(
+        spark.createDataFrame(list(state.items()), "doc_id long, text string"),
+        d, num_partitions=2, lineage="b",
+    )
+    queries = [("w00000 w00001", "or"), ("w00000 w00002 w00010", "or")]
+
+    def check_exact(tag):
+        """Exact (doc_id, score) identity vs fresh rebuild — guaranteed
+        after pure upserts (exact stats adjustment) and after compaction
+        (full recompute). Deletes intentionally leave stats drifted
+        until compaction (Lucene semantics), so delete phases use
+        check_membership instead."""
+        live = spark.createDataFrame(
+            list(state.items()), "doc_id long, text string"
+        )
+        ref_dir = str(tmp_path / f"ref_{tag}")
+        build_segments(live, ref_dir, num_partitions=2, lineage=tag)
+        ia, ib = load_index(spark, d), load_index(spark, ref_dir)
+        for q, mode in queries:
+            ra = wand_topk(ia, q, k=15, mode=mode).collect()
+            rb = wand_topk(ib, q, k=15, mode=mode).collect()
+            assert [(r["doc_id"], r["score"]) for r in ra] == [
+                (r["doc_id"], r["score"]) for r in rb
+            ], (tag, q)
+
+    def check_membership(tag):
+        """Invariants that hold THROUGH stat drift: no dead doc ever
+        surfaces, the k slots stay filled from live docs."""
+        ia = load_index(spark, d)
+        for q, mode in queries:
+            ra = wand_topk(ia, q, k=15, mode=mode).collect()
+            got = [r["doc_id"] for r in ra]
+            assert len(got) == 15, (tag, q)
+            dead = [i for i in got if i not in state]
+            assert not dead, (tag, q, dead)
+
+    rng_texts = lambda tag, ids: [
+        (int(i), f"{tag} w{i % 7:05d} churn{i} w00000") for i in ids
+    ]
+
+    # phase 1: update 150 + insert 60
+    ups1 = rng_texts("p1", list(range(0, 150)) + list(range(n0, n0 + 60)))
+    upsert_docs(spark, d, spark.createDataFrame(ups1, "doc_id long, text string"))
+    state.update(dict(ups1))
+    check_exact("p1")
+
+    # phase 2: delete 100 (some just-updated)
+    dels = list(range(100, 200))
+    delete_docs(spark, d, dels)
+    for i in dels:
+        state.pop(i, None)
+    check_membership("p2")
+
+    # phase 3: resurrect 40 deleted ids + touch 40 survivors
+    ups3 = rng_texts("p3", list(range(120, 160)) + list(range(300, 340)))
+    upsert_docs(spark, d, spark.createDataFrame(ups3, "doc_id long, text string"))
+    state.update(dict(ups3))
+    check_membership("p3")
+    # resurrected ids must be searchable again (max-scope semantics)
+    idx = load_index(spark, d)
+    hits = wand_topk(idx, "churn120", k=3, mode="or").collect()
+    assert any(r["doc_id"] == 120 for r in hits)
+
+    # phase 4: compact, then keep churning on the compacted index
+    compact(spark, d, num_partitions=2)
+    check_exact("p4")
+
+    ups5 = rng_texts("p5", list(range(140, 180)) + [n0 + 100, n0 + 101])
+    upsert_docs(spark, d, spark.createDataFrame(ups5, "doc_id long, text string"))
+    state.update(dict(ups5))
+    delete_docs(spark, d, list(range(150, 170)))
+    for i in range(150, 170):
+        state.pop(i, None)
+    check_membership("p5")
+
+    compact(spark, d, num_partitions=3)
+    check_exact("p6")
