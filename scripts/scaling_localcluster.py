@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Process-level scaling evidence: 1 -> 4 executor JVMs at fixed
+cores-per-executor (local-cluster mode), per-stage timings.
+
+Round-2 verdict: single-JVM local[N] hits this VM's measured
+per-process thread ceiling (>4-8 busy threads in one process degrade;
+32 separate processes scale at 0.93), so thread-count pairs conflate
+the host ceiling with the engine's scaling. local-cluster[E,C,M] runs E
+REAL executor JVMs with C cores each — the closest sandbox analog of
+"N and 4N executors" in the north rule, with each JVM staying inside
+the per-process regime.
+
+Each level runs the build phase-by-phase in a fresh subprocess (fresh
+JVMs), alternating A/B/A/B to spread CPU-steal drift evenly. Reports
+per-phase best-of-N, throughput at both levels, and per-phase scaling
+efficiency. Appends a JSON line per run to
+BENCH/scaling_localcluster.jsonl and rewrites the summary table in
+BENCH/BASELINE.md (section appended by hand afterwards).
+
+Usage: python scripts/scaling_localcluster.py [--turns 1000000]
+       [--alternations 3] [--cores 4] [--small 1] [--big 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyf_aggregator_spark.session import get_spark
+from pyf_aggregator_spark.index.builder import assign_doc_ids
+from pyf_aggregator_spark.index.segments import build_segments
+
+corpus_path = {corpus!r}
+master = {master!r}
+spark = get_spark(app_name="scale-lc", master=master)
+phases = {{}}
+
+t0 = time.monotonic()
+docs = assign_doc_ids(spark.read.parquet(corpus_path))
+docs = docs.persist(); n = docs.count()
+phases["assign_doc_ids"] = time.monotonic() - t0
+
+import shutil, tempfile
+out = tempfile.mkdtemp(prefix="scale_lc_")
+t0 = time.monotonic()
+build_segments(docs, out, lineage="scale")
+phases["build_segments"] = time.monotonic() - t0
+total = sum(phases.values())
+shutil.rmtree(out, ignore_errors=True)
+print(json.dumps({{
+    "master": master, "turns": int(n), "phases": phases,
+    "total_sec": total, "turns_per_sec": n / total,
+    "build_turns_per_sec": n / phases["build_segments"],
+}}))
+spark.stop()
+"""
+
+
+def run_child(master: str, corpus: str) -> dict:
+    code = _CHILD.format(repo=HERE, corpus=corpus, master=master)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3000, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=1_000_000)
+    ap.add_argument("--alternations", type=int, default=3)
+    ap.add_argument("--cores", type=int, default=4)
+    ap.add_argument("--small", type=int, default=1)
+    ap.add_argument("--big", type=int, default=4)
+    ap.add_argument("--mem-mb", type=int, default=4096)
+    args = ap.parse_args()
+
+    sys.path.insert(0, HERE)
+    from pyf_aggregator_spark.session import get_spark
+
+    # corpus generated once, shared by every child
+    spark = get_spark(app_name="scale-gen", master="local[8]")
+    sys.path.insert(0, HERE)
+    from bench import ensure_transcripts
+
+    corpus = ensure_transcripts(spark, args.turns)
+    spark.stop()
+
+    m_small = f"local-cluster[{args.small},{args.cores},{args.mem_mb}]"
+    m_big = f"local-cluster[{args.big},{args.cores},{args.mem_mb}]"
+    factor = args.big // args.small
+
+    smalls, bigs = [], []
+    for i in range(args.alternations):
+        smalls.append(run_child(m_small, corpus))
+        bigs.append(run_child(m_big, corpus))
+        print(
+            f"alt {i}: small {smalls[-1]['build_turns_per_sec']:.0f} t/s, "
+            f"big {bigs[-1]['build_turns_per_sec']:.0f} t/s",
+            file=sys.stderr,
+        )
+
+    def best(runs):
+        b = max(runs, key=lambda r: r["build_turns_per_sec"])
+        b = dict(b)
+        b["all_build_turns_per_sec"] = [
+            round(r["build_turns_per_sec"], 1) for r in runs
+        ]
+        # per-phase minima (each phase's own least-noisy run)
+        b["phase_min"] = {
+            p: min(r["phases"][p] for r in runs) for p in b["phases"]
+        }
+        return b
+
+    s, g = best(smalls), best(bigs)
+    eff_build = (g["build_turns_per_sec"] / s["build_turns_per_sec"]) / factor
+    result = {
+        "pair": f"{m_small} -> {m_big}",
+        "factor": factor,
+        "turns": args.turns,
+        "small": s,
+        "big": g,
+        "phase_efficiency": {
+            p: round((s["phase_min"][p] / g["phase_min"][p]) / factor, 3)
+            for p in s["phase_min"]
+        },
+        "build_efficiency": round(eff_build, 3),
+        "total_efficiency": round(
+            (g["turns_per_sec"] / s["turns_per_sec"]) / factor, 3
+        ),
+    }
+    os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
+    with open(
+        os.path.join(HERE, "BENCH", "scaling_localcluster.jsonl"), "a"
+    ) as fh:
+        fh.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
