@@ -74,6 +74,21 @@ def main() -> None:
     co.add_argument("--index-dir", required=True)
     co.add_argument("--partitions", type=int, default=None)
 
+    mb = sub.add_parser("build-multifield")
+    mb.add_argument("--input", required=True,
+                    help="parquet with (doc_id, <field columns>)")
+    mb.add_argument("--index-dir", required=True)
+    mb.add_argument("--fields", required=True,
+                    help="comma-separated field column names")
+    mb.add_argument("--partitions", type=int, default=None)
+
+    mq = sub.add_parser("query-multifield")
+    mq.add_argument("--index-dir", required=True)
+    mq.add_argument("--query", required=True)
+    mq.add_argument("--weights", required=True,
+                    help="field=weight comma list, e.g. name=10,title=10,body=3")
+    mq.add_argument("--k", type=int, default=10)
+
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -133,11 +148,19 @@ def main() -> None:
 
         idx = load_index(spark, args.index_dir)
         idx["segments"] = idx["segments"].cache()
-        qs = [
-            {"query_id": r["query_id"], "query": r["query"],
-             "mode": r["mode"] or "or", "k": r["k"] or 10}
-            for r in spark.read.parquet(args.queries).collect()
-        ]
+        qdf = spark.read.parquet(args.queries)
+        has_filter = "allowed_parquet" in qdf.columns
+        qs = []
+        for r in qdf.collect():
+            q = {"query_id": r["query_id"], "query": r["query"],
+                 "mode": r["mode"] or "or", "k": r["k"] or 10}
+            # optional per-query filter_by: a row may name a parquet of
+            # allowed doc_ids — pushed into the kernel pre-heap
+            if has_filter and r["allowed_parquet"]:
+                q["allowed"] = spark.read.parquet(
+                    r["allowed_parquet"]
+                ).select("doc_id")
+            qs.append(q)
         # ONE job for the whole set: shared per-partition block decodes
         # (the q/s capacity path — a per-query loop pays job-scheduling
         # latency per query)
@@ -173,6 +196,38 @@ def main() -> None:
         )
         out = {"cmd": "delete", "n_tombstoned": n,
                "sec": round(time.monotonic() - t0, 2)}
+
+    elif args.cmd == "build-multifield":
+        from pyf_aggregator_spark.index.segments import build_multifield_segments
+
+        fields = [f.strip() for f in args.fields.split(",") if f.strip()]
+        info = build_multifield_segments(
+            spark.read.parquet(args.input),
+            args.index_dir,
+            fields,
+            num_partitions=args.partitions or 8,
+        )
+        out = {**info, "cmd": "build-multifield",
+               "sec": round(time.monotonic() - t0, 2)}
+
+    elif args.cmd == "query-multifield":
+        from pyf_aggregator_spark.search.wand import (
+            load_multifield_index,
+            wand_topk_multifield,
+        )
+
+        weights = {
+            kv.split("=")[0].strip(): float(kv.split("=")[1])
+            for kv in args.weights.split(",")
+            if kv.strip()
+        }
+        idx = load_multifield_index(spark, args.index_dir)
+        rows = wand_topk_multifield(idx, weights, args.query, k=args.k).collect()
+        out = {
+            "cmd": "query-multifield",
+            "hits": [(r["doc_id"], r["score"]) for r in rows],
+            "sec": round(time.monotonic() - t0, 2),
+        }
 
     else:  # compact
         from pyf_aggregator_spark.index.incremental import compact

@@ -34,18 +34,6 @@ from pyspark.sql import functions as F
 from pyf_aggregator_spark.index.segments import build_segments
 
 
-def _swap_write(df: DataFrame, path: str) -> None:
-    """Write to a temp dir then atomically swap — Spark can't overwrite
-    a path that feeds the plan being written."""
-    tmp = path + "__new"
-    df.write.mode("overwrite").parquet(tmp)
-    old = path + "__old"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
-
-
 # ------------------------------------------------- upsert crash recovery
 #
 # upsert_docs is a multi-file mutation (segment parts + meta rows +
@@ -63,9 +51,26 @@ _SWAP_TABLES = ("term_stats", "doc_stats", "corpus")
 
 
 def _reconcile_pending(index_dir: str) -> int:
-    """Roll back any upsert whose pending marker survived a crash.
-    Returns the number of markers reconciled. Cheap no-op (one listdir)
-    when there is nothing pending."""
+    """Roll back any upsert/append whose pending marker survived a
+    crash. Returns the number of markers reconciled. Cheap no-op (one
+    listdir) when there is nothing pending."""
+    # compact dir-swap recovery: a crash between "rename live -> __old"
+    # and "rename __compact -> live" leaves NO live dir. The staging is
+    # complete by then (meta/ is written last), so roll FORWARD.
+    if not os.path.isdir(index_dir):
+        staging = index_dir + "__compact"
+        old = index_dir + "__old"
+        if os.path.isdir(os.path.join(staging, "meta")):
+            os.rename(staging, index_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(os.path.join(old, "meta")):
+            # staging gone/incomplete — restore the pre-compact index
+            os.rename(old, index_dir)
+        else:
+            return 0
+    elif os.path.isdir(os.path.join(index_dir, "meta")):
+        # completed swap whose old-dir cleanup was interrupted
+        shutil.rmtree(index_dir + "__old", ignore_errors=True)
     pend_dir = os.path.join(index_dir, "pending")
     if not os.path.isdir(pend_dir):
         return 0
@@ -85,19 +90,20 @@ def _reconcile_pending(index_dir: str) -> int:
                 live = os.path.join(index_dir, t)
                 shutil.rmtree(live, ignore_errors=True)
                 os.rename(bak, live)
-        for rel in marker.get("tomb_files", []):
-            p = os.path.join(index_dir, "tombstones", rel)
-            if os.path.exists(p):
-                os.remove(p)
-        # the commit may have created the tombstones dir itself — an
-        # empty parquet dir left behind would break readers
-        tomb_dir = os.path.join(index_dir, "tombstones")
-        if os.path.isdir(tomb_dir) and not _data_files(tomb_dir):
-            shutil.rmtree(tomb_dir, ignore_errors=True)
-        for rel in marker.get("meta_files", []):
-            p = os.path.join(index_dir, "meta", rel)
-            if os.path.exists(p):
-                os.remove(p)
+        for sub, names in marker.get("move_files", {}).items():
+            for rel in names:
+                p = os.path.join(index_dir, sub, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+            # the commit may have created the subdir itself (first
+            # tombstone) — an empty parquet dir breaks readers
+            subdir = os.path.join(index_dir, sub)
+            if (
+                sub == "tombstones"
+                and os.path.isdir(subdir)
+                and not _data_files(subdir)
+            ):
+                shutil.rmtree(subdir, ignore_errors=True)
         for pid in marker.get("part_ids", []):
             shutil.rmtree(
                 os.path.join(index_dir, "segments", f"part_id={pid}"),
@@ -114,6 +120,72 @@ def _reconcile_pending(index_dir: str) -> int:
         for p in glob.glob(os.path.join(index_dir, f"{t}__bak*")):
             shutil.rmtree(p, ignore_errors=True)
     return n
+
+
+def _commit_staged(
+    index_dir: str,
+    staging: str,
+    part_base: int,
+    op: str,
+    move_subdirs: list[str],
+    swap_tables: list[str],
+) -> None:
+    """Shared two-phase commit: publish a fully-staged index mutation
+    with a pending marker + pure renames (marker removed last). The
+    staging dir must hold segments/part_id=* plus each listed move
+    subdir (meta/tombstones/doc-stats deltas as parquet files to move
+    into the live dir) and each listed swap table (full replacement
+    dirs). Crash anywhere → _reconcile_pending rolls back."""
+    new_part_ids = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{staging}/segments")
+        if d.startswith("part_id=")
+    ) if os.path.isdir(f"{staging}/segments") else []
+    moves: dict[str, list[tuple[str, str]]] = {}
+    for sub in move_subdirs:
+        srcs = _data_files(os.path.join(staging, sub))
+        moves[sub] = [
+            (src, f"{op}{part_base}-{i}.parquet") for i, src in enumerate(srcs)
+        ]
+    pend_dir = os.path.join(index_dir, "pending")
+    os.makedirs(pend_dir, exist_ok=True)
+    marker_path = os.path.join(pend_dir, f"{op}_{part_base}.json")
+    with open(marker_path + ".tmp", "w") as fh:
+        json.dump(
+            {
+                "op": op,
+                "part_base": part_base,
+                "part_ids": new_part_ids,
+                "move_files": {s: [d for _, d in m] for s, m in moves.items()},
+                "swap_tables": swap_tables,
+                "staging": staging,
+            },
+            fh,
+        )
+    os.replace(marker_path + ".tmp", marker_path)
+
+    for pid in new_part_ids:
+        dest = os.path.join(index_dir, "segments", f"part_id={pid}")
+        shutil.rmtree(dest, ignore_errors=True)
+        os.rename(os.path.join(staging, "segments", f"part_id={pid}"), dest)
+    for sub, m in moves.items():
+        if m:
+            os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
+        for src, dst in m:
+            os.rename(
+                os.path.join(staging, sub, src),
+                os.path.join(index_dir, sub, dst),
+            )
+    for t in swap_tables:
+        live = os.path.join(index_dir, t)
+        os.rename(live, live + f"__bak{part_base}")
+        os.rename(os.path.join(staging, t), live)
+    os.remove(marker_path)
+    for t in swap_tables:
+        shutil.rmtree(
+            os.path.join(index_dir, t) + f"__bak{part_base}", ignore_errors=True
+        )
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def _data_files(path: str) -> list[str]:
@@ -200,8 +272,15 @@ def append_segments(
     lineage: str = "delta",
 ) -> dict:
     """delta_docs(doc_id dense from 0, text) → appended delta partitions
-    + merged stats. Returns counters incl. the docID base used."""
+    + merged stats. Returns counters incl. the docID base used.
+
+    Crash-safe like upsert_docs: the delta partitions, merged
+    term_stats, delta doc_stats and corpus scalars are all staged, then
+    published through _commit_staged (pending marker + pure renames) —
+    a crash mid-append can no longer leave delta segments live with
+    stale stats."""
     spark: SparkSession = delta_docs.sparkSession
+    _reconcile_pending(index_dir)
     meta = spark.read.parquet(f"{index_dir}/meta")
     part_base = int(meta.agg(F.max("part_id")).collect()[0][0]) + 1
     # doc_base comes from doc_stats, not meta doc_hi: meta only covers
@@ -240,10 +319,13 @@ def append_segments(
     avgdl_new = total_len_new / n_docs_new
 
     # delta segments: blocks encoded under the MERGED avgdl so their
-    # stored max_norm needs no inflation; old parts keep avgdl_build
+    # stored max_norm needs no inflation; old parts keep avgdl_build.
+    # Staged — nothing touches the live dirs until the commit below.
+    staging = index_dir + f"__apstage{part_base}"
+    shutil.rmtree(staging, ignore_errors=True)
     stats = build_segments(
         shifted,
-        index_dir,
+        staging,
         num_partitions=num_partitions,
         lineage=lineage,
         doc_base=doc_base,
@@ -280,7 +362,7 @@ def append_segments(
             ).alias("idf"),
         )
     )
-    _swap_write(merged, f"{index_dir}/term_stats")
+    merged.write.mode("overwrite").parquet(f"{staging}/term_stats")
 
     delta_doc_stats = (
         shifted.select("doc_id")
@@ -289,11 +371,17 @@ def append_segments(
             "doc_id", F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len")
         )
     )
-    delta_doc_stats.write.mode("append").parquet(f"{index_dir}/doc_stats")
+    delta_doc_stats.write.mode("overwrite").parquet(f"{staging}/doc_stats")
 
     from pyf_aggregator_spark.index.segments import write_corpus_stats
 
-    write_corpus_stats(index_dir, n_docs_new, total_len_new, avgdl_new)
+    write_corpus_stats(staging, n_docs_new, total_len_new, avgdl_new)
+
+    _commit_staged(
+        index_dir, staging, part_base, "append",
+        move_subdirs=["meta", "doc_stats"],  # doc_stats delta is an append
+        swap_tables=["term_stats", "corpus"],
+    )
 
     return {
         **stats,
@@ -534,56 +622,11 @@ def upsert_docs(
     # ---- COMMIT: marker first (records every live file the commit
     # creates), then pure renames, marker removed last. A crash at any
     # point is rolled back by _reconcile_pending on the next call.
-    new_part_ids = sorted(
-        int(d.split("=")[1])
-        for d in os.listdir(f"{staging}/segments")
-        if d.startswith("part_id=")
+    _commit_staged(
+        index_dir, staging, part_base, "upsert",
+        move_subdirs=["meta", "tombstones"],
+        swap_tables=list(_SWAP_TABLES),
     )
-    meta_srcs = _data_files(f"{staging}/meta")
-    tomb_srcs = _data_files(f"{staging}/tombstones")
-    meta_files = [f"upsert{part_base}-{i}.parquet" for i in range(len(meta_srcs))]
-    tomb_files = [f"upsert{part_base}-{i}.parquet" for i in range(len(tomb_srcs))]
-    pend_dir = os.path.join(index_dir, "pending")
-    os.makedirs(pend_dir, exist_ok=True)
-    marker_path = os.path.join(pend_dir, f"upsert_{part_base}.json")
-    with open(marker_path + ".tmp", "w") as fh:
-        json.dump(
-            {
-                "part_base": part_base,
-                "part_ids": new_part_ids,
-                "meta_files": meta_files,
-                "tomb_files": tomb_files,
-                "staging": staging,
-            },
-            fh,
-        )
-    os.replace(marker_path + ".tmp", marker_path)
-
-    for pid in new_part_ids:
-        dest = os.path.join(index_dir, "segments", f"part_id={pid}")
-        shutil.rmtree(dest, ignore_errors=True)
-        os.rename(os.path.join(staging, "segments", f"part_id={pid}"), dest)
-    for src, dst in zip(meta_srcs, meta_files):
-        os.rename(
-            os.path.join(staging, "meta", src), os.path.join(index_dir, "meta", dst)
-        )
-    if tomb_srcs:
-        os.makedirs(os.path.join(index_dir, "tombstones"), exist_ok=True)
-        for src, dst in zip(tomb_srcs, tomb_files):
-            os.rename(
-                os.path.join(staging, "tombstones", src),
-                os.path.join(index_dir, "tombstones", dst),
-            )
-    for t in _SWAP_TABLES:
-        live = os.path.join(index_dir, t)
-        os.rename(live, live + f"__bak{part_base}")
-        os.rename(os.path.join(staging, t), live)
-    os.remove(marker_path)
-    for t in _SWAP_TABLES:
-        shutil.rmtree(
-            os.path.join(index_dir, t) + f"__bak{part_base}", ignore_errors=True
-        )
-    shutil.rmtree(staging, ignore_errors=True)
 
     docs.unpersist()
     existing.unpersist()
@@ -641,7 +684,13 @@ def compact(spark: SparkSession, index_dir: str, num_partitions: int | None = No
         num_partitions,
         doc_stats_path=f"{staging}/doc_stats_src",
     )
-    # atomic-ish swap of the whole index dir
+    # the decoded-postings staging table is index-sized — drop it
+    # before publishing (it must not ride into the live dir)
+    shutil.rmtree(f"{staging}/postings_src", ignore_errors=True)
+    shutil.rmtree(f"{staging}/doc_stats_src", ignore_errors=True)
+    # atomic-ish swap of the whole index dir; a crash between the two
+    # renames is rolled FORWARD by _reconcile_pending (staging is
+    # complete once meta/ exists — it is written last)
     old = index_dir + "__old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(index_dir, old)

@@ -66,7 +66,8 @@ def write_corpus_stats(index_dir: str, n_docs: int, total_len: int, avgdl: float
     import pandas as pd
 
     path = os.path.join(index_dir, "corpus")
-    # stage-then-rename (mirrors incremental._swap_write): a crash or a
+    # stage-then-rename (same discipline as incremental._commit_staged
+    # swaps): a crash or a
     # concurrent reader mid-update must never observe a missing/partial
     # corpus table
     tmp = path + "__new"

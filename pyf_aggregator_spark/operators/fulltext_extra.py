@@ -259,8 +259,10 @@ def k2_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j5_topk_hydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: search hits → hydrate documents by id (db.py:403-426):
-    k-row result broadcast-joined back to the corpus."""
-    topk = bm25_topk(documents_index(spark, sf_dir), "spark vector", k=15, mode="or")
+    k-row segment-engine result broadcast-joined back to the corpus."""
+    topk = wand_topk(
+        documents_segment_index(spark, sf_dir), "spark vector", k=15, mode="or"
+    )
     docs = load(spark, sf_dir, "documents")
     return (
         F.broadcast(topk)
@@ -461,12 +463,14 @@ def ft_search_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk in the reference pages): page p of a ranked result = fetch the
     top p·per_page (TakeOrdered — per-partition heaps, p·k-row merge,
     no global sort) and keep ranks (p-1)·per_page+1 .. p·per_page via a
-    row_number window over the tiny candidate set."""
+    row_number window over the tiny candidate set. Candidates come from
+    the segment/WAND engine (rank-identical to the DataFrame twin)."""
     from pyspark.sql import Window
 
     page, per_page = 2, 10
-    topk = bm25_topk(
-        documents_index(spark, sf_dir), "spark vector", k=page * per_page, mode="or"
+    topk = wand_topk(
+        documents_segment_index(spark, sf_dir), "spark vector",
+        k=page * per_page, mode="or",
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (

@@ -500,3 +500,101 @@ def test_churn_soak_upsert_delete_compact(spark, tmp_path):
 
     compact(spark, d, num_partitions=3)
     check_exact("p6")
+
+
+def test_append_crash_rollback_and_retry(spark, tmp_path, monkeypatch):
+    """append_segments shares the staged-commit protocol: a crash at
+    any commit point must roll back to the pre-append state (no delta
+    segments with stale stats), and a clean retry equals the
+    uninterrupted append."""
+    import os as _os
+
+    docs = assign_doc_ids(transcripts_df(spark, 500), num_partitions=2)
+    d = str(tmp_path / "apcrash")
+    build_segments(docs.select("doc_id", "text"), d, num_partitions=2, lineage="b")
+    q = "w00000 w00001"
+    before = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(load_index(spark, d), q, k=10).collect()
+    ]
+    delta = assign_doc_ids(transcripts_df(spark, 200, seed=11), num_partitions=1)
+    delta = delta.select("doc_id", "text").persist()
+    delta.count()
+
+    real_rename = _os.rename
+    live_prefix = d + _os.sep
+    for crash_after in (0, 2, 4, 6):
+        calls = {"n": 0}
+
+        def rn(src, dst, _real=real_rename, calls=calls, lim=crash_after):
+            if str(dst).startswith(live_prefix):
+                if calls["n"] >= lim:
+                    raise RuntimeError("simulated crash")
+                calls["n"] += 1
+            return _real(src, dst)
+
+        monkeypatch.setattr(_os, "rename", rn)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            append_segments(delta, d, num_partitions=1, lineage="ap")
+        monkeypatch.setattr(_os, "rename", real_rename)
+        after = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(load_index(spark, d), q, k=10).collect()
+        ]
+        assert after == before, f"append rollback failed at point {crash_after}"
+
+    info = append_segments(delta, d, num_partitions=1, lineage="ap")
+    assert info["n_delta_docs"] == delta.count()
+    # appended index == fresh rebuild over the combined corpus
+    combined = docs.select("doc_id", "text").unionByName(
+        delta.withColumn(
+            "doc_id", (F.col("doc_id") + info["doc_base"]).cast("long")
+        )
+    )
+    d2 = str(tmp_path / "apref")
+    build_segments(combined, d2, num_partitions=2, lineage="r")
+    ra = wand_topk(load_index(spark, d), q, k=10).collect()
+    rb = wand_topk(load_index(spark, d2), q, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in ra] == [
+        (r["doc_id"], r["score"]) for r in rb
+    ]
+    delta.unpersist()
+
+
+def test_compact_crash_dir_swap_roll_forward(spark, tmp_path, monkeypatch):
+    """A crash between compact's two directory renames leaves no live
+    index dir; the next access must roll FORWARD to the completed
+    staging (meta/ is written last, so its presence proves
+    completeness)."""
+    import os as _os
+
+    from pyf_aggregator_spark.index.incremental import compact
+
+    docs = assign_doc_ids(transcripts_df(spark, 400), num_partitions=1)
+    d = str(tmp_path / "cc")
+    build_segments(docs.select("doc_id", "text"), d, num_partitions=1, lineage="b")
+    before = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(load_index(spark, d), "w00000 w00001", k=10).collect()
+    ]
+
+    real = _os.rename
+
+    def rn(src, dst, _r=real):
+        if str(src).endswith("__compact"):
+            raise RuntimeError("simulated crash")
+        return _r(src, dst)
+
+    monkeypatch.setattr(_os, "rename", rn)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact(spark, d, num_partitions=1)
+    monkeypatch.setattr(_os, "rename", real)
+    assert not _os.path.isdir(d)  # the torn state is real
+    after = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(load_index(spark, d), "w00000 w00001", k=10).collect()
+    ]
+    # compact of an untombstoned index is a rebuild — identical results
+    assert after == before
+    # staging table must not ride into the live dir
+    assert not _os.path.isdir(_os.path.join(d, "postings_src"))
