@@ -71,3 +71,72 @@ def test_stream_resume_exactly_once_file_sink(spark, sf_dir, tmp_path):
     # a third run with no new files must be a no-op
     run()
     assert spark.read.parquet(sink).count() == total
+
+
+def test_stream_append_to_index_exactly_once(spark, tmp_path):
+    """The reference's feed→upsert loop: a document stream drives
+    crash-safe index appends. Drained in two restarts on one
+    checkpoint, the final index is rank-identical to a batch build over
+    everything; a replayed (already-committed) batch is skipped via its
+    lineage stamp; a no-new-data run applies nothing."""
+    from pyf_aggregator_spark.fixtures.transcripts import transcripts_df
+    from pyf_aggregator_spark.index.builder import assign_doc_ids
+    from pyf_aggregator_spark.index.segments import build_segments
+    from pyf_aggregator_spark.search.wand import load_index, wand_topk
+    from pyf_aggregator_spark.streaming.live_index import (
+        stream_append_to_index,
+    )
+
+    base = assign_doc_ids(transcripts_df(spark, 400), num_partitions=2)
+    d = str(tmp_path / "liveidx")
+    build_segments(base.select("doc_id", "text"), d, num_partitions=2, lineage="b")
+
+    feed = transcripts_df(spark, 240, seed=21).select(
+        "conv_id", "turn_idx", "text"
+    )
+    src = str(tmp_path / "docsrc")
+    ckpt = str(tmp_path / "docckpt")
+    chunks = [
+        feed.filter(F.hash("conv_id") % 2 == i).persist() for i in range(2)
+    ]
+    for c in chunks:
+        c.count()
+
+    _stage_chunk(chunks[0], src, "d0", str(tmp_path))
+    applied1 = stream_append_to_index(spark, src, d, ckpt)
+    assert len(applied1) == 1
+
+    _stage_chunk(chunks[1], src, "d1", str(tmp_path))
+    applied2 = stream_append_to_index(spark, src, d, ckpt)
+    assert len(applied2) == 1 and applied2[0] not in applied1
+
+    # third drain: nothing new → nothing applied
+    assert stream_append_to_index(spark, src, d, ckpt) == []
+
+    # the streamed index answers rank-identically to one batch build
+    # over base + both chunks (ids assigned in the same arrival order)
+    idx = load_index(spark, d)
+    from pyspark.sql import Window
+
+    n_base = base.count()
+    combined = base.select("doc_id", "text")
+    offset = n_base
+    for c in chunks:
+        w = Window.orderBy("conv_id", "turn_idx")
+        shifted = c.select(
+            (F.row_number().over(w) - 1 + F.lit(offset)).cast("long").alias("doc_id"),
+            "text",
+        )
+        combined = combined.unionByName(shifted)
+        offset += c.count()
+    d2 = str(tmp_path / "liveref")
+    build_segments(combined, d2, num_partitions=2, lineage="r")
+    ref = load_index(spark, d2)
+    for q in ["w00000 w00001", "w00002"]:
+        ra = wand_topk(idx, q, k=12).collect()
+        rb = wand_topk(ref, q, k=12).collect()
+        assert [(r["doc_id"], r["score"]) for r in ra] == [
+            (r["doc_id"], r["score"]) for r in rb
+        ], q
+    for c in chunks:
+        c.unpersist()
