@@ -594,3 +594,116 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return _verify_jaccard(cand, sh, threshold)
+
+
+# --------------------------------------- cosine LSH (label-free embeddings)
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[tuple[int, list[float]]]:
+    """Deterministic ±1 hyperplanes from md5(plane|dim) parity — no RNG,
+    identical across runs/engines (the production analog seeds a
+    documented PRNG)."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = [
+            1.0
+            if int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        out.append((p, row))
+    return out
+
+
+def cosine_lsh_pairs(
+    emb: DataFrame,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.95,
+    hot_bucket_cap: int = 1000,
+) -> DataFrame:
+    """Label-FREE embedding near-duplicate pairs: random-hyperplane
+    (sign) LSH for cosine similarity — the scale path when no blocking
+    attribute exists (dedup_embedding_cosine's label blocking assumes
+    labels are given).
+
+    emb(vec_id, v array<double>) → (vec1, vec2, cosine ≥ threshold).
+    Signature bit p = [v·h_p ≥ 0] (JVM zip_with/aggregate dot);
+    n_bands bands of n_planes/n_bands bits form bucket keys; same
+    candidates-then-verify shape as MinHash-LSH including the
+    hot-bucket cap (a cluster of near-identical embeddings floods one
+    bucket; its pairs belong to exact dedup). Exact cosine verify keeps
+    precision; two identical-direction vectors share EVERY band, so
+    exact duplicates are never missed regardless of banding."""
+    spark = emb.sparkSession
+    dim = len(emb.select("v").first()["v"])
+    r = n_planes // n_bands
+    planes = spark.createDataFrame(
+        _hyperplanes(n_planes, dim), "plane int, hvec array<double>"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("hvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    bits = (
+        emb.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id", "plane",
+            (dot >= 0).cast("int").alias("bit"),
+        )
+    )
+    bands = (
+        bits.groupBy("vec_id", (F.col("plane") / r).cast("int").alias("band"))
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("plane", "bit"))),
+                    lambda s: s["bit"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    ok = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("bn"))
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= hot_bucket_cap))
+        .select("band", "band_key")
+    )
+    bands = bands.join(ok, ["band", "band_key"], "left_semi")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2"))
+        .distinct()
+    )
+    e1 = emb.select(F.col("vec_id").alias("vec1"), F.col("v").alias("v1"))
+    e2 = emb.select(F.col("vec_id").alias("vec2"), F.col("v").alias("v2"))
+    cdot = F.aggregate(
+        F.zip_with(F.col("v1"), F.col("v2"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda s, z: s + z
+        )
+    )
+    return (
+        cand.join(e1, "vec1")
+        .join(e2, "vec2")
+        .select(
+            "vec1", "vec2",
+            F.round(cdot / (nrm("v1") * nrm("v2")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec1", "vec2")
+    )

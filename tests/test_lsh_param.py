@@ -72,3 +72,39 @@ def test_simhash_hot_bucket_cap_bounds_candidates(spark):
     got = {(r["doc1"], r["doc2"]) for r in pairs}
     assert (2000, 2001) in got  # recall survives outside hot buckets
     sig.unpersist()
+
+
+def test_cosine_lsh_label_free(spark):
+    """Hyperplane LSH finds planted near-duplicates without any
+    blocking attribute; identical-direction pairs are never missed
+    (they share every band); reported pairs are exact-verified; the
+    hot-bucket cap bounds a flooded bucket."""
+    import math
+    import hashlib
+
+    from pyf_aggregator_spark.operators.dedup import cosine_lsh_pairs
+
+    def vec(seed, dim=16):
+        # deterministic pseudo-vector from md5 digits
+        h = hashlib.md5(str(seed).encode()).hexdigest()
+        return [int(h[i % 32], 16) - 7.5 for i in range(dim)]
+
+    rows = []
+    for i in range(40):
+        rows.append((i, vec(i)))
+    # planted exact-direction dups (scaled copies -> cosine 1.0)
+    rows.append((100, [2.0 * x for x in vec(3)]))
+    rows.append((101, [0.5 * x for x in vec(17)]))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {(r["vec1"], r["vec2"]): r["cosine"]
+           for r in cosine_lsh_pairs(emb, threshold=0.99).collect()}
+    assert (3, 100) in got and got[(3, 100)] >= 0.99
+    assert (17, 101) in got
+    # precision: every reported pair really is >= threshold
+    assert all(c >= 0.99 for c in got.values())
+    # flooded bucket: 50 copies of one direction -> capped candidates
+    flood = [(200 + i, vec(9)) for i in range(50)]
+    emb2 = spark.createDataFrame(rows + flood, "vec_id long, v array<double>")
+    capped = cosine_lsh_pairs(emb2, threshold=0.99, hot_bucket_cap=10)
+    pairs = {(r["vec1"], r["vec2"]) for r in capped.collect()}
+    assert not any(v1 >= 200 and v2 >= 200 for v1, v2 in pairs)

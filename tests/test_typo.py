@@ -1,0 +1,97 @@
+"""Typo-tolerant search (Typesense's default num_typos behavior):
+deletion-neighborhood correction → WAND, rank-identical to querying the
+corrected terms directly."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyf_aggregator_spark.fixtures.transcripts import transcripts_df
+from pyf_aggregator_spark.index.builder import assign_doc_ids
+from pyf_aggregator_spark.index.segments import build_segments
+from pyf_aggregator_spark.search.typo import (
+    build_deletion_table,
+    correct_terms,
+    wand_topk_typo,
+    write_deletion_table,
+)
+from pyf_aggregator_spark.search.wand import load_index, wand_topk
+
+
+@pytest.fixture(scope="module")
+def typo_idx(spark, tmp_path_factory):
+    docs = assign_doc_ids(transcripts_df(spark, 600), num_partitions=2)
+    d = str(tmp_path_factory.mktemp("typoidx"))
+    build_segments(docs.select("doc_id", "text"), d, num_partitions=2, lineage="t")
+    idx = load_index(spark, d)
+    write_deletion_table(idx["term_stats"], d)
+    return spark, d, idx
+
+
+def test_deletion_table_covers_edit1_grid(spark):
+    ts = spark.createDataFrame(
+        [("spark", 10, 0, 0.0), ("sport", 2, 0, 0.0)],
+        "term string, df long, cf long, idf double",
+    )
+    tbl = build_deletion_table(ts).collect()
+    variants = {(r["variant"], r["term"]) for r in tbl}
+    # the term itself and each single deletion are present
+    assert ("spark", "spark") in variants
+    assert ("park", "spark") in variants and ("sark", "spark") in variants
+    assert ("spak", "spark") in variants and ("spar", "spark") in variants
+
+
+def test_correct_terms_edit1_cases(typo_idx):
+    """substitution / insertion / deletion at distance 1 all correct to
+    a vocabulary term; garbage stays None; known terms pass through.
+    Corpus vocabulary contains w00000..w000NN tokens."""
+    spark, d, idx = typo_idx
+    got = correct_terms(
+        spark, d,
+        ["w00000",            # known → itself
+         "w0000x",            # substitution of last char
+         "w000001",           # insertion
+         "w0000",             # deletion
+         "zzqqy"],            # garbage, no neighbor
+        idx["term_stats"],
+    )
+    assert got["w00000"] == "w00000"
+    assert got["w0000x"] is not None and got["w0000x"].startswith("w0000")
+    assert got["w000001"] is not None
+    assert got["w0000"] is not None
+    assert got["zzqqy"] is None
+
+
+def test_typo_search_rank_identical_to_corrected_query(typo_idx):
+    spark, d, idx = typo_idx
+    got = wand_topk_typo(idx, "w0000x w00001", k=10, mode="or").collect()
+    mapping = correct_terms(
+        spark, d, ["w0000x", "w00001"], idx["term_stats"]
+    )
+    direct = wand_topk(
+        idx, f"{mapping['w0000x']} w00001", k=10, mode="or"
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in direct
+    ]
+    assert len(got) == 10
+
+
+def test_typo_search_all_garbage_empty(typo_idx):
+    _, _, idx = typo_idx
+    assert wand_topk_typo(idx, "zzqqy xxjjw", k=5).collect() == []
+
+
+def test_correction_prefers_higher_df(spark, tmp_path):
+    """Among several distance-1 candidates the most frequent term wins
+    (Typesense prefers popular corrections)."""
+    rows = [(i, "color book") for i in range(8)] + [(8, "colors"), (9, "colors")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "pref")
+    build_segments(docs, d, num_partitions=1, lineage="p")
+    idx = load_index(spark, d)
+    write_deletion_table(idx["term_stats"], d)
+    # "colorz" is distance 1 from BOTH color (df 8, delete z) and
+    # colors (df 2, substitute z→s) → the higher-df term wins
+    got = correct_terms(spark, d, ["colorz"], idx["term_stats"])
+    assert got["colorz"] == "color"
