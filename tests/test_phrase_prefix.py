@@ -1,0 +1,115 @@
+"""Phrase (adjacency) and prefix (autocomplete) search — the remaining
+Typesense default query behaviors (quoted phrases; prefix=true on the
+last token)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyf_aggregator_spark.index.builder import build_index
+from pyf_aggregator_spark.registry import load
+from pyf_aggregator_spark.search.phrase import (
+    phrase_oracle_sql,
+    phrase_regex,
+    phrase_topk,
+)
+from pyf_aggregator_spark.search.prefix import expand_prefix, wand_topk_prefix
+
+
+def test_phrase_adjacency_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),        # adjacent, in order → match
+            (1, "alpha x beta"),            # separated → no
+            (2, "beta alpha"),              # wrong order → no
+            (3, "pre.alpha-beta_post"),     # separator chars count → match
+            (4, "alphabeta"),               # glued, no boundary → no
+            (5, "ALPHA BETA"),              # case-insensitive → match
+            (6, "alpha beta alpha beta"),   # repeated → match
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs)
+    got = {r["doc_id"] for r in phrase_topk(idx, "alpha beta", k=10).collect()}
+    assert got == {0, 3, 5, 6}
+
+
+def test_phrase_matches_duckdb_oracle(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    idx = build_index(docs)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    for phrase in ["spark vector", "vector window", "spark spark"]:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in phrase_topk(idx, phrase, k=10).collect()
+        ]
+        want = [
+            (r[0], r[1])
+            for r in con.execute(phrase_oracle_sql(phrase, 10)).fetchall()
+        ]
+        assert got == want, phrase
+
+
+def test_phrase_single_and_empty(spark):
+    docs = spark.createDataFrame(
+        [(0, "solo token here"), (1, "no match")], "doc_id long, text string"
+    )
+    idx = build_index(docs)
+    assert [r["doc_id"] for r in phrase_topk(idx, "solo", k=5).collect()] == [0]
+    assert phrase_topk(idx, "", k=5).collect() == []
+
+
+def test_phrase_regex_escapes_special_tokens():
+    # tokens can contain regex metachars only if the tokenizer passes
+    # them through (it splits on . - _ @ / and whitespace, so survivors
+    # like "c++" must be escaped, not interpreted)
+    pat = phrase_regex(["c++", "api"])
+    assert "c\\+\\+" in pat
+
+
+@pytest.fixture(scope="module")
+def prefix_idx(spark, sf_dir, tmp_path_factory):
+    from pyf_aggregator_spark.index.segments import build_segments
+    from pyf_aggregator_spark.search.wand import load_index
+
+    docs = spark.createDataFrame(
+        [(0, "plone api tools"), (1, "plonetheme stack"), (2, "plon legacy"),
+         (3, "plone api extras"), (4, "unrelated words")]
+        + [(10 + i, "plone api tools") for i in range(5)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path_factory.mktemp("pfx"))
+    build_segments(docs, d, num_partitions=1, lineage="p")
+    return spark, load_index(spark, d)
+
+
+def test_expand_prefix_df_order(prefix_idx):
+    _, idx = prefix_idx
+    got = expand_prefix(idx["term_stats"], "plon")
+    # most frequent completion first
+    assert got[0] == "plone"
+    assert set(got) == {"plone", "plonetheme", "plon"}
+    assert expand_prefix(idx["term_stats"], "zzz") == []
+
+
+def test_prefix_search_equals_expanded_or_query(prefix_idx):
+    from pyf_aggregator_spark.search.wand import wand_topk
+
+    spark, idx = prefix_idx
+    got = wand_topk_prefix(idx, "api plon", k=10).collect()
+    manual = wand_topk(
+        idx, "api plon plone plonetheme", k=10, mode="or"
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in manual
+    ]
+    assert len(got) > 0
+
+
+def test_prefix_no_completion_no_hits(prefix_idx):
+    _, idx = prefix_idx
+    assert wand_topk_prefix(idx, "zzzq", k=5).collect() == []
