@@ -127,3 +127,90 @@ def test_segment_scan_prunes_terms(spark, tmp_path):
     plan = plan_of(seg)
     assert "PushedFilters" in plan
     assert "term" in plan.split("PushedFilters")[1][:300]
+
+
+def test_multifield_scan_pushes_term_and_prunes_field(spark, sf, tmp_path, monkeypatch):
+    """The multifield WAND scan must push the term IN-filter to the
+    parquet read AND prune on the field partition column (PartitionFilters)
+    — one scan serving all five fields, reading only the query's terms."""
+    import pyf_aggregator_spark.operators.fulltext_extra as fx
+    from pyf_aggregator_spark.search.wand import FIELD_SEP
+
+    monkeypatch.setenv("PYFAGG_SEG_CACHE", str(tmp_path / "mfplan"))
+    monkeypatch.setattr(fx, "_MF_CACHE", {})
+    mf = fx.documents_multifield_index(spark, sf)
+    # audit the raw artifact read (the cached in-memory handle hides
+    # the parquet scan node; Spark's cache manager matches by plan, so
+    # unpersist before re-reading the same path)
+    mf["segments"].unpersist()
+    seg = spark.read.parquet(f"{mf['dir']}/segments").filter(
+        F.col("term").isin(["spark", "vector"])
+        & F.col("field").isin(["name", "title"])
+    )
+    plan = plan_of(seg)
+    assert "PushedFilters" in plan
+    assert "term" in plan.split("PushedFilters")[1][:300]
+    assert "PartitionFilters" in plan
+    assert "field" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_batch_allow_set_rides_shuffle_not_broadcast(spark, tmp_path):
+    """Filtered batch WAND: the allow-set union must reach the kernel
+    through the same partition-keyed exchange as the blocks — never a
+    forced broadcast of a corpus-fraction filter set."""
+    from pyf_aggregator_spark.fixtures.transcripts import transcripts_df
+    from pyf_aggregator_spark.index.builder import assign_doc_ids
+    from pyf_aggregator_spark.index.segments import build_segments
+    from pyf_aggregator_spark.search.wand import load_index, wand_topk_batch
+
+    d = str(tmp_path / "batchplan")
+    docs = assign_doc_ids(transcripts_df(spark, 400), num_partitions=2)
+    build_segments(docs, d, num_partitions=2)
+    idx = load_index(spark, d)
+    allowed = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = wand_topk_batch(
+            idx,
+            [{"query_id": "q", "query": "w00000", "mode": "or", "k": 5,
+              "allowed": allowed}],
+        )
+        plan = plan_of(df)
+        # with auto-broadcast off, any BroadcastExchange left is an
+        # EXPLICIT hint — the only ones in this plan are the tiny P-row
+        # meta ranges (sentinel routing) and the per-query k table; the
+        # kernel input (blocks + sentinels) must reach applyInPandas
+        # through the partition-keyed exchange
+        assert "FlatMapGroupsInPandas" in plan
+        # formatted explain lists each node twice (tree + detail
+        # section): 3 distinct tiny broadcasts = sentinel meta-ranges
+        # (tombstone + allow routing) and the per-query k table
+        assert plan.count("BroadcastExchange") <= 6, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_typo_variant_join_broadcasts_query_side(spark, tmp_path):
+    """Typo correction joins the (tiny) query deletion-neighborhood
+    against the variant table: the QUERY side is the broadcast."""
+    from pyf_aggregator_spark.fixtures.transcripts import transcripts_df
+    from pyf_aggregator_spark.index.builder import assign_doc_ids
+    from pyf_aggregator_spark.index.segments import build_segments
+    from pyf_aggregator_spark.search.typo import (
+        _deletion_variants,
+        write_deletion_table,
+    )
+    from pyf_aggregator_spark.search.wand import load_index
+
+    d = str(tmp_path / "typoplan")
+    docs = assign_doc_ids(transcripts_df(spark, 300), num_partitions=1)
+    build_segments(docs, d, num_partitions=1)
+    idx = load_index(spark, d)
+    write_deletion_table(idx["term_stats"], d)
+    qdf = spark.createDataFrame([("w0000x",)], "qterm string").select(
+        "qterm", F.explode(_deletion_variants("qterm")).alias("variant")
+    )
+    dels = spark.read.parquet(f"{d}/typo_variants")
+    joined = dels.join(F.broadcast(qdf), "variant")
+    assert "BroadcastHashJoin" in plan_of(joined)
