@@ -1,0 +1,44 @@
+"""drop_tokens fallback — Typesense's default drop_tokens_threshold=1:
+when a query matches fewer than ``threshold`` documents, tokens are
+dropped (right-to-left, the Typesense default mode) and the search
+retried, so an over-specified query still returns its best partial
+matches. Active on every reference query (no override passed,
+db.py:266-290).
+
+Each retry is one WAND pass over an ever-smaller term set — the scan
+cost SHRINKS per retry (fewer pushed terms), and the loop is bounded by
+the query length, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from pyf_aggregator_spark.functions.tokenize import tokenize_py
+
+
+def wand_topk_drop_tokens(
+    idx: dict,
+    query: str,
+    k: int = 10,
+    mode: str = "and",
+    threshold: int = 1,
+) -> tuple[DataFrame, list[str]]:
+    """→ (result, used_terms): retries with the rightmost token dropped
+    until ≥ threshold hits (or one token remains). Returns the term set
+    that produced the result so callers can surface "searched for"
+    feedback like Typesense does."""
+    from pyf_aggregator_spark.search.wand import wand_topk
+
+    terms = tokenize_py(query)
+    spark = idx["segments"].sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double"), []
+    while True:
+        out = wand_topk(idx, " ".join(terms), k=k, mode=mode)
+        if len(terms) == 1:
+            return out, terms
+        # bounded collect: k rows max — cheap membership of "enough"
+        if len(out.limit(threshold).collect()) >= threshold:
+            return out, terms
+        terms = terms[:-1]  # right-to-left, Typesense's default

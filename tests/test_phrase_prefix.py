@@ -113,3 +113,57 @@ def test_prefix_search_equals_expanded_or_query(prefix_idx):
 def test_prefix_no_completion_no_hits(prefix_idx):
     _, idx = prefix_idx
     assert wand_topk_prefix(idx, "zzzq", k=5).collect() == []
+
+
+# --------------------------- drop_tokens fallback + highlighting
+
+
+def test_drop_tokens_fallback(prefix_idx):
+    """An over-specified AND query falls back by dropping tokens
+    right-to-left until hits appear (Typesense drop_tokens_threshold)."""
+    from pyf_aggregator_spark.search.fallback import wand_topk_drop_tokens
+
+    _, idx = prefix_idx
+    # "plone api zzzq" has zero AND hits; dropping zzzq leaves a real
+    # conjunction
+    out, used = wand_topk_drop_tokens(idx, "plone api zzzq", k=10)
+    assert used == ["plone", "api"]
+    rows = out.collect()
+    assert len(rows) > 0
+    # full match short-circuits without dropping
+    out2, used2 = wand_topk_drop_tokens(idx, "plone api", k=10)
+    assert used2 == ["plone", "api"]
+    assert [(r["doc_id"], r["score"]) for r in out2.collect()] == [
+        (r["doc_id"], r["score"]) for r in rows
+    ]
+    # all-garbage bottoms out at one token with zero hits
+    out3, used3 = wand_topk_drop_tokens(idx, "zzzq yyxx", k=5)
+    assert used3 == ["zzzq"] and out3.collect() == []
+
+
+def test_highlight_and_snippet(spark):
+    from pyf_aggregator_spark.search.highlight import with_highlights
+
+    docs = spark.createDataFrame(
+        [
+            (0, "The Spark engine indexes spark.vector fields quickly"),
+            (1, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame(
+        [(0, 1.5), (1, 0.5)], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in with_highlights(hits, docs, ["spark", "vector"]).collect()
+    }
+    h0 = got[0]["highlight"]
+    # case preserved, tokenizer boundaries respected (spark.vector is
+    # two tokens under the separator contract)
+    assert "<mark>Spark</mark>" in h0
+    assert "<mark>spark</mark>.<mark>vector</mark>" in h0
+    assert "indexes" in h0 and "<mark>indexes</mark>" not in h0
+    assert "<mark>" in got[0]["snippet"] or "Spark" in got[0]["snippet"]
+    assert got[1]["highlight"] == "nothing relevant here"
+    assert got[1]["snippet"] == ""
