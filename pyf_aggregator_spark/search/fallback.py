@@ -23,6 +23,7 @@ def wand_topk_drop_tokens(
     k: int = 10,
     mode: str = "and",
     threshold: int = 1,
+    allowed: DataFrame | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """→ (result, used_terms): retries with the rightmost token dropped
     until ≥ threshold hits (or one token remains). Returns the term set
@@ -35,7 +36,7 @@ def wand_topk_drop_tokens(
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double"), []
     while True:
-        out = wand_topk(idx, " ".join(terms), k=k, mode=mode)
+        out = wand_topk(idx, " ".join(terms), k=k, mode=mode, allowed=allowed)
         if len(terms) == 1:
             return out, terms
         # bounded collect: k rows max — cheap membership of "enough"

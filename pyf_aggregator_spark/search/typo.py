@@ -92,6 +92,13 @@ def correct_terms(
     ).select(
         "qterm", F.explode(_deletion_variants("qterm")).alias("variant")
     )
+    import os
+
+    if not os.path.exists(f"{index_dir}/typo_variants"):
+        # build-on-first-use: the artifact is derivable from term_stats
+        # alone, so an index built before the typo layer existed (or by
+        # a path that skipped it) self-heals here
+        write_deletion_table(term_stats, index_dir)
     dels = spark.read.parquet(f"{index_dir}/typo_variants")
     # the query side is ≤ Σ len(unknown terms) rows → broadcast; the
     # candidate set after the variant equi-join is tiny (the deletion
