@@ -54,10 +54,11 @@ def test_search_filter_and_facets(spark, sf_dir):
          "facet_by": "lang", "per_page": 15, "num_typos": 0},
     )
     assert all(h["document"]["lang"] == "en" for h in res["hits"])
-    # facets aggregate the UNFILTERED match set's languages (facet counts
-    # describe the query's hit distribution like Typesense's facets)
+    # facet counts describe the (filtered) match set, and their sum is
+    # exactly `found` — the Typesense facet contract
     fc = {c["value"]: c["count"] for c in res["facet_counts"][0]["counts"]}
-    assert fc and sum(fc.values()) == res["found"] or "en" in fc
+    assert set(fc) == {"en"}
+    assert sum(fc.values()) == res["found"]
 
 
 def test_search_match_all_sort_and_page(spark, sf_dir):
