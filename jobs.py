@@ -89,6 +89,21 @@ def main() -> None:
                     help="field=weight comma list, e.g. name=10,title=10,body=3")
     mq.add_argument("--k", type=int, default=10)
 
+    se = sub.add_parser("search", help="Typesense-shaped unified endpoint")
+    se.add_argument("--sf-dir", required=True,
+                    help="tier dir with documents.parquet")
+    se.add_argument("--q", required=True)
+    se.add_argument("--filter-by", default=None)
+    se.add_argument("--facet-by", default=None)
+    se.add_argument("--sort-by", default=None)
+    se.add_argument("--group-by", default=None)
+    se.add_argument("--group-limit", type=int, default=1)
+    se.add_argument("--page", type=int, default=1)
+    se.add_argument("--per-page", type=int, default=10)
+    se.add_argument("--num-typos", type=int, default=1)
+    se.add_argument("--prefix", action="store_true")
+    se.add_argument("--highlight", action="store_true")
+
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -226,6 +241,28 @@ def main() -> None:
         out = {
             "cmd": "query-multifield",
             "hits": [(r["doc_id"], r["score"]) for r in rows],
+            "sec": round(time.monotonic() - t0, 2),
+        }
+
+    elif args.cmd == "search":
+        from pyf_aggregator_spark.search.api import search
+
+        params = {
+            "q": args.q,
+            "filter_by": args.filter_by,
+            "facet_by": args.facet_by,
+            "sort_by": args.sort_by,
+            "group_by": args.group_by,
+            "group_limit": args.group_limit,
+            "page": args.page,
+            "per_page": args.per_page,
+            "num_typos": args.num_typos,
+            "prefix": args.prefix,
+            "highlight": args.highlight,
+        }
+        out = {
+            "cmd": "search",
+            **search(spark, args.sf_dir, params),
             "sec": round(time.monotonic() - t0, 2),
         }
 
