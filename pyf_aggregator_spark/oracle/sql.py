@@ -139,6 +139,108 @@ LIMIT {k}
 """
 
 
+def typo_topk_sql(query: str, k: int = 10, num_typos: int = 2) -> str:
+    """Typo-tolerant disjunctive top-k: replays search/typo.py's
+    correction INDEPENDENTLY (brute-force Levenshtein over the
+    vocabulary — equivalent to the SymSpell neighborhood by the
+    deletion-intersection theorem, since both sides use the same
+    length gates), then scores the corrected terms. Known terms pass
+    through; unknown terms take the lowest-distance, then highest-df,
+    then lexicographically-smallest neighbor; uncorrectable terms
+    contribute nothing."""
+    from pyf_aggregator_spark.search.typo import (
+        MAX_TERM_LEN,
+        MIN_LEN_1TYPO,
+        MIN_LEN_2TYPO,
+    )
+
+    qterms = sorted(set(tokenize_py(query)))
+    arr = ", ".join(f"'{t}'" for t in qterms)
+    return f"""
+WITH {TOKENS_CTE},
+qt AS (SELECT unnest(ARRAY[{arr}]) AS qterm),
+corr AS (
+  SELECT qterm, coalesce(
+    (SELECT term FROM dfreq WHERE term = qterm),
+    (SELECT term FROM dfreq
+      WHERE length(term) <= {MAX_TERM_LEN}
+        AND levenshtein(qterm, term) <= least(
+              CASE WHEN length(qterm) >= {MIN_LEN_2TYPO} THEN 2
+                   WHEN length(qterm) >= {MIN_LEN_1TYPO} THEN 1
+                   ELSE 0 END, {num_typos})
+      ORDER BY levenshtein(qterm, term) ASC, df DESC, term ASC
+      LIMIT 1)
+  ) AS term FROM qt
+),
+cterms AS (SELECT DISTINCT term FROM corr WHERE term IS NOT NULL),
+hits AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / c.avgdl))
+         ) AS raw_score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+  WHERE tf.term IN (SELECT term FROM cterms)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw_score, {SCORE_DECIMALS}) AS score
+FROM hits
+ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def drop_tokens_topk_sql(query: str, k: int = 10, threshold: int = 1) -> str:
+    """drop_tokens fallback oracle (and-mode, right-to-left like the
+    Typesense default): one AND-mode hit set per prefix of the token
+    list; the longest prefix with ≥ threshold total matches wins (the
+    single-token prefix wins unconditionally) — the cascade is decided
+    IN SQL, independently of the implementation's retry loop."""
+    toks = tokenize_py(query)
+    assert toks, "drop_tokens oracle needs a non-empty query"
+    prefixes = [toks[:j] for j in range(len(toks), 0, -1)]
+    ctes, selects = [], []
+    for i, pfx in enumerate(prefixes):
+        terms = sorted(set(pfx))
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        ctes.append(f"""
+h{i} AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / c.avgdl))
+         ) AS raw_score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+  WHERE tf.term IN ({in_list})
+  GROUP BY tf.doc_id
+  HAVING count(*) = {len(terms)}
+)""")
+        shorter_all_below = " AND ".join(
+            f"(SELECT count(*) FROM h{j}) < {threshold}" for j in range(i)
+        )
+        own = (
+            f"(SELECT count(*) FROM h{i}) >= {threshold}"
+            if i < len(prefixes) - 1
+            else "1=1"  # last prefix (one token) returns unconditionally
+        )
+        cond = f"{shorter_all_below} AND {own}" if shorter_all_below else own
+        selects.append(f"SELECT doc_id, raw_score FROM h{i} WHERE {cond}")
+    union = "\n  UNION ALL ".join(selects)
+    return f"""
+WITH {TOKENS_CTE},{",".join(ctes)}
+SELECT doc_id, round(raw_score, {SCORE_DECIMALS}) AS score
+FROM ({union})
+ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def term_stats_sql() -> str:
     return f"WITH {TOKENS_CTE} SELECT term, df, cf FROM dfreq ORDER BY term"
 

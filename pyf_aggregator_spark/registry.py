@@ -129,7 +129,7 @@ _ORDER = [
     "ft_filtered_search", "ft_wand_filtered",
     "ft_search_page2", "ft_search_facets",
     "ft_grouped_search_top2_per_lang", "j5_topk_hydrate",
-    "k2_upsert_search",
+    "k2_upsert_search", "ft_typesense_defaults",
     # stats + match-all
     "ft_term_stats", "ft_doc_stats", "ft_match_all_filter_sort",
     # scalar transforms + fixture operators (ungraded in round 1)
@@ -149,8 +149,8 @@ _ORDER = [
     "c5c6_description_split", "c7_badge_detection",
     "c13_json_restructure", "skew_salted_event_agg",
     # relational breadth
-    "f2_f3_f5_f6_filters", "j2_equijoin_agg", "j3_anti_join_deletion_set",
-    "j4_semi_join_enrichment_keys", "a1_newest_per_group",
+    "f2_f3_f5_f6_filters", "j2_equijoin_agg", "j3_j4_anti_semi_joins",
+    "a1_newest_per_group",
     "a5_array_facet_counts", "a_pricing_summary",
     "u1_union_dedup_newest", "u3_except",
 ]

@@ -6,13 +6,20 @@ param names the reference uses (plus the engine defaults Typesense
 applies silently) and returns a Typesense-shaped response dict:
 
     q                    query string; "*" = match-all
+    query_by             comma list of fields → weighted multi-field
+    query_by_weights     comma list of weights (reference AGENTS.md:
+                         16-20 uses 10,10,5,3,1 over name,title,
+                         first_chapter,main_content,changelog); routed
+                         to the build-time multifield artifact through
+                         one WAND pass (wand_topk_multifield)
     filter_by            "field:=value" / "field:=[v1,v2]", joined by &&
     facet_by             comma list of facet fields
     sort_by              "field:desc|asc" (match-all path; ranked
                          queries sort by text_match like Typesense)
     page / per_page      1-based pagination (defaults 1 / 10)
     group_by/group_limit grouped results
-    num_typos            0 disables typo correction (default 1 here)
+    num_typos            typo budget (default 2, Typesense's default;
+                         min_len_1typo=4 / min_len_2typo=7 gates apply)
     prefix               last-token autocomplete (default False here;
                          Typesense defaults true)
     drop_tokens_threshold retry with dropped tokens when hits < N
@@ -37,29 +44,77 @@ from pyspark.sql import functions as F
 from pyf_aggregator_spark.functions.tokenize import tokenize_py
 
 
+def _split_outside_backticks(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` only where it occurs OUTSIDE a backtick-quoted
+    span (the reference backtick-quotes values containing special chars
+    before composing filter_by, db.py:16-22)."""
+    parts, buf, in_bt, i = [], [], False, 0
+    while i < len(s):
+        c = s[i]
+        if c == "`":
+            in_bt = not in_bt
+            buf.append(c)
+            i += 1
+        elif not in_bt and s.startswith(sep, i):
+            parts.append("".join(buf))
+            buf = []
+            i += len(sep)
+        else:
+            buf.append(c)
+            i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _unquote(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v.startswith("`") and v.endswith("`"):
+        return v[1:-1]
+    return v
+
+
 def parse_filter_by(filter_by: str | None):
-    """'lang:=en && n_chars:=[100,200]' → list of (field, [values])."""
+    """'lang:=en && n_chars:=[100,200] && source:!=`a&&b`' → list of
+    (field, [values], negated). Grammar (the subset the reference
+    composes, db.py:16-22 + Typesense filter syntax):
+
+    - ``field:=value`` / ``field:=[v1,v2]``  — exact match (IN)
+    - ``field:!=value`` / ``field:!=[v1,v2]`` — exclude (NOT IN);
+      NULL-TOLERANT: a doc with NULL in the field is NOT excluded —
+      the F4 exclude-registry 3VL semantics (a package with no
+      registry set is not 'in' any excluded registry)
+    - values may be backtick-quoted; ``&&`` and ``,`` inside backticks
+      are literal content, not separators"""
     if not filter_by:
         return []
     out = []
-    for clause in filter_by.split("&&"):
+    for clause in _split_outside_backticks(filter_by, "&&"):
         clause = clause.strip()
-        m = re.match(r"^(\w+)\s*:=\s*(.+)$", clause)
+        m = re.match(r"^(\w+)\s*:(!?)=\s*(.+)$", clause, re.DOTALL)
         if not m:
             raise ValueError(f"unsupported filter_by clause: {clause!r}")
-        field, val = m.group(1), m.group(2).strip()
+        field, neg, val = m.group(1), m.group(2) == "!", m.group(3).strip()
         if val.startswith("[") and val.endswith("]"):
-            vals = [v.strip() for v in val[1:-1].split(",") if v.strip()]
+            vals = [
+                _unquote(v)
+                for v in _split_outside_backticks(val[1:-1], ",")
+                if v.strip()
+            ]
         else:
-            vals = [val]
-        out.append((field, vals))
+            vals = [_unquote(val)]
+        out.append((field, vals, neg))
     return out
 
 
 def _apply_filters(docs: DataFrame, clauses) -> DataFrame:
-    for field, vals in clauses:
+    for field, vals, neg in clauses:
         col = F.col(field).cast("string")
-        docs = docs.filter(col.isin(vals))
+        if neg:
+            # exclude with 3VL null-tolerance: NULL is "not in the
+            # excluded set" (isin alone would drop nulls — the F4 trap)
+            docs = docs.filter(~col.isin(vals) | col.isNull())
+        else:
+            docs = docs.filter(col.isin(vals))
     return docs
 
 
@@ -71,12 +126,14 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         documents_segment_index,
         grouped_search,
     )
-    from pyf_aggregator_spark.registry import documents_index, load
-    from pyf_aggregator_spark.search.engine import _scored
-    from pyf_aggregator_spark.search.fallback import wand_topk_drop_tokens
+    from pyf_aggregator_spark.registry import load
+    from pyf_aggregator_spark.search.fallback import drop_tokens_with_found
     from pyf_aggregator_spark.search.prefix import expand_prefix
     from pyf_aggregator_spark.search.typo import correct_terms
-    from pyf_aggregator_spark.search.wand import wand_topk
+    from pyf_aggregator_spark.search.wand import (
+        wand_match_ids,
+        wand_topk_with_found,
+    )
 
     q = params.get("q", "*")
     page = int(params.get("page", 1))
@@ -109,15 +166,61 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         }
 
     # ---------------- ranked search
-    idx = documents_segment_index(spark, sf_dir)
+    # query_by / query_by_weights (the reference's PRIMARY surface,
+    # AGENTS.md:16-20) route to the build-time multifield artifact
+    # through wand_topk_multifield — same engine as the graded
+    # ft_multifield_5field_weighted row. Typo correction then uses the
+    # artifact's own vocabulary (df summed across fields).
+    query_by = params.get("query_by")
+    mf = weights = None
+    if query_by:
+        from pyf_aggregator_spark.operators.fulltext_extra import (
+            documents_multifield_index,
+        )
+
+        fields = [f.strip() for f in query_by.split(",") if f.strip()]
+        wstr = params.get("query_by_weights")
+        if wstr:
+            wvals = [float(x) for x in str(wstr).split(",")]
+            if len(wvals) != len(fields):
+                raise ValueError(
+                    "query_by_weights length != query_by field count"
+                )
+            weights = dict(zip(fields, wvals))
+        else:
+            weights = {f: 1.0 for f in fields}
+        mf = documents_multifield_index(spark, sf_dir)
+        unknown = sorted(set(fields) - set(mf["avgdl_by_field"]))
+        if unknown:
+            raise ValueError(f"unknown query_by fields: {unknown}")
+        for p in ("group_by", "facet_by"):
+            if params.get(p):
+                # explicit, not silently wrong (r3 lesson): these
+                # combinations aren't wired to the multifield kernel yet
+                raise ValueError(f"{p} with query_by is not supported")
+        typo_stats = mf["term_stats"].groupBy("term").agg(
+            F.sum("df").alias("df")
+        )
+        typo_dir = mf["dir"]
+    else:
+        idx = documents_segment_index(spark, sf_dir)
+        typo_stats, typo_dir = idx["term_stats"], idx["dir"]
     terms = tokenize_py(q)
-    if int(params.get("num_typos", 1)) > 0:
-        mapping = correct_terms(spark, idx["dir"], terms, idx["term_stats"])
-        terms = [mapping.get(t) or t for t in terms]
+    num_typos = int(params.get("num_typos", 2))
+    if num_typos > 0:
+        mapping = correct_terms(
+            spark, typo_dir, terms, typo_stats, num_typos=num_typos
+        )
+        # a failed correction contributes NOTHING (typo.correct_terms
+        # contract, matching wand_topk_typo): drop None-mapped terms.
+        # Only when EVERY term fails do we fall back to the original
+        # query (a zero-hit search, but a well-formed one).
+        corrected = [mapping[t] for t in terms if mapping.get(t) is not None]
+        terms = corrected or terms
     if params.get("prefix") and terms:
         *fixed, last = terms
         terms = sorted(
-            set(fixed) | set(expand_prefix(idx["term_stats"], last) or [last])
+            set(fixed) | set(expand_prefix(typo_stats, last) or [last])
         )
     query = " ".join(terms)
     mode = params.get("mode", "or")
@@ -129,7 +232,8 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     if group_by:
         limit = int(params.get("group_limit", 1))
         grouped = grouped_search(
-            spark, sf_dir, query, group_by, group_limit=limit
+            spark, sf_dir, query, group_by, group_limit=limit,
+            allowed=allowed,
         ).collect()
         return {
             "found": len(grouped),
@@ -139,24 +243,29 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
 
     k = page * per_page
     drop_threshold = int(params.get("drop_tokens_threshold", 0))
-    if drop_threshold and mode == "and":
-        hits_df, used_terms = wand_topk_drop_tokens(
+    if mf is not None:
+        from pyf_aggregator_spark.search.wand import (
+            wand_topk_multifield_with_found,
+        )
+
+        all_rows, found = wand_topk_multifield_with_found(
+            mf, weights, query, k=k, allowed=allowed
+        )
+    elif drop_threshold and mode == "and":
+        all_rows, used_terms, found = drop_tokens_with_found(
             idx, query, k=k, mode=mode, threshold=drop_threshold,
             allowed=allowed,
         )
         query = " ".join(used_terms)
     else:
-        hits_df = wand_topk(idx, query, k=k, mode=mode, allowed=allowed)
-    rows = hits_df.collect()[(page - 1) * per_page :]
-
-    # found = size of the full (filtered) match set, like Typesense
-    scored = _scored(documents_index(spark, sf_dir), tokenize_py(query))
-    if mode == "and":
-        scored = scored.filter(F.col("nmatch") == len(set(tokenize_py(query))))
-    match_set = scored.select("doc_id")
-    if clauses:
-        match_set = match_set.join(filtered_docs.select("doc_id"), "doc_id")
-    found = match_set.count()
+        # found (Typesense's exact match-set size) comes out of the SAME
+        # kernel pass as the top-k — the segment index is the only
+        # engine a ranked search touches (no documents_index build, no
+        # full-match scoring job)
+        all_rows, found = wand_topk_with_found(
+            idx, query, k=k, mode=mode, allowed=allowed
+        )
+    rows = all_rows[(page - 1) * per_page :]
 
     hit_ids = spark.createDataFrame(
         [(r["doc_id"], r["score"]) for r in rows], "doc_id long, score double"
@@ -177,14 +286,20 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         d = dict(hydrated.get(r["doc_id"], {"doc_id": r["doc_id"]}))
         d.pop("score", None)
         hits.append({"document": d, "text_match": r["score"]})
+    facet_counts = []
+    if params.get("facet_by"):
+        # hit-set facets need the match IDS, not just the count: one
+        # extra kernel pass emitting the distributed (filtered) match
+        # set — still segment-only, aggregated map-side, never collected
+        match_set = wand_match_ids(idx, query, mode=mode, allowed=allowed)
+        facet_counts = _facets(
+            params.get("facet_by"), docs.join(match_set, "doc_id")
+        )
     return {
         "found": found,
         "page": page,
         "hits": hits,
-        "facet_counts": _facets(
-            params.get("facet_by"),
-            docs.join(match_set, "doc_id"),
-        ),
+        "facet_counts": facet_counts,
     }
 
 

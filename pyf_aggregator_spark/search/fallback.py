@@ -43,3 +43,29 @@ def wand_topk_drop_tokens(
         if len(out.limit(threshold).collect()) >= threshold:
             return out, terms
         terms = terms[:-1]  # right-to-left, Typesense's default
+
+
+def drop_tokens_with_found(
+    idx: dict,
+    query: str,
+    k: int = 10,
+    mode: str = "and",
+    threshold: int = 1,
+    allowed=None,
+) -> tuple[list[dict], list[str], int]:
+    """Facade variant: → (hits, used_terms, found). Each retry is one
+    wand_topk_with_found pass, so the threshold check uses the EXACT
+    match count (no extra probe job) and the final ``found`` is
+    Typesense's — all from the same kernel passes."""
+    from pyf_aggregator_spark.search.wand import wand_topk_with_found
+
+    terms = tokenize_py(query)
+    if not terms:
+        return [], [], 0
+    while True:
+        hits, found = wand_topk_with_found(
+            idx, " ".join(terms), k=k, mode=mode, allowed=allowed
+        )
+        if len(terms) == 1 or found >= threshold:
+            return hits, terms, found
+        terms = terms[:-1]  # right-to-left, Typesense's default

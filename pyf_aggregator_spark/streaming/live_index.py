@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyf_aggregator_spark.index.incremental import append_segments
+from pyf_aggregator_spark.index.incremental import (
+    _reconcile_pending,
+    append_segments,
+)
 
 
 def _dense_ids(batch: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -55,6 +58,15 @@ def stream_append_to_index(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         lineage = f"stream-{batch_id}"
+        # Roll back any torn commit BEFORE consulting meta/ for the
+        # replay guard: a crash inside _commit_staged can leave the
+        # batch's meta rows renamed live while the pending marker still
+        # exists. Reading meta first would see the lineage, skip the
+        # replay, and the next append's reconcile would roll the
+        # uncommitted batch back — losing it forever. Reconciling first
+        # means a torn commit is undone here, the lineage is absent,
+        # and the replayed batch re-applies.
+        _reconcile_pending(index_dir)
         meta = spark.read.parquet(f"{index_dir}/meta")
         if meta.filter(F.col("lineage") == lineage).count() > 0:
             return  # completed by a previous attempt — exactly-once skip

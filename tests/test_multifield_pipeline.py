@@ -114,6 +114,78 @@ def test_wand_multifield_matches_dataframe_engine(spark, sf_dir, tmp_path, monke
     fields.unpersist()
 
 
+def test_upsert_multifield_equals_rebuild(spark, tmp_path):
+    """Incremental maintenance of the 5-field artifact (r3 NOTES known
+    gap): upsert whole documents (update + insert) WITHOUT a rebuild;
+    the weighted query must be rank- and score-identical to a fresh
+    build over the modified field table — including a second upsert on
+    top of the first (tombstone scoping + exact per-field stats)."""
+    from pyf_aggregator_spark.index.incremental import upsert_multifield
+    from pyf_aggregator_spark.index.segments import build_multifield_segments
+    from pyf_aggregator_spark.search.wand import (
+        load_multifield_index,
+        wand_topk_multifield,
+    )
+
+    fields = ["name", "title", "body"]
+    weights = {"name": 10.0, "title": 5.0, "body": 1.0}
+    base_rows = [
+        (i, f"pkg{i}", f"title w{i % 7} quantum" if i % 3 == 0 else f"title w{i % 7}",
+         f"body words w{i % 5} w{i % 11} filler")
+        for i in range(40)
+    ]
+    schema = "doc_id long, name string, title string, body string"
+    base = spark.createDataFrame(base_rows, schema)
+    d = str(tmp_path / "mfinc")
+    build_multifield_segments(base, d, fields, num_partitions=3, lineage="b")
+
+    ups1 = [
+        (3, "pkg3-renamed", "quantum quantum new title", "fresh body quantum"),
+        (7, "pkg7", "", ""),  # all description fields emptied
+        (40, "quantum-core", "brand new", "inserted body w3"),
+    ]
+    upsert_multifield(
+        spark, d, spark.createDataFrame(ups1, schema), fields
+    )
+    ups2 = [
+        (3, "pkg3", "third version title", "body again"),  # re-update
+        (41, "another-pkg", "quantum again", "w1 w2"),
+    ]
+    upsert_multifield(
+        spark, d, spark.createDataFrame(ups2, schema), fields
+    )
+
+    merged = {r[0]: r for r in base_rows}
+    for r in ups1 + ups2:
+        merged[r[0]] = r
+    ref_df = spark.createDataFrame(sorted(merged.values()), schema)
+    d2 = str(tmp_path / "mfref")
+    build_multifield_segments(ref_df, d2, fields, num_partitions=3, lineage="r")
+
+    idx = load_multifield_index(spark, d)
+    ref = load_multifield_index(spark, d2)
+    for q in ["quantum", "quantum w3", "title", "pkg3 body", "zzz-none"]:
+        a = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk_multifield(idx, weights, q, k=15).collect()
+        ]
+        b = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk_multifield(ref, weights, q, k=15).collect()
+        ]
+        assert a == b, q
+    # and the stats tables agree exactly (not just the top-k)
+    a_ts = {
+        (r["field"], r["term"]): (r["df"], r["cf"])
+        for r in idx["term_stats"].collect()
+    }
+    b_ts = {
+        (r["field"], r["term"]): (r["df"], r["cf"])
+        for r in ref["term_stats"].collect()
+    }
+    assert a_ts == b_ts
+
+
 def test_grouped_search_wand_matches_df_engine(spark, sf_dir):
     """Grouped search on the segment engine ≡ the DataFrame-engine twin
     (same candidates, same per-group windows)."""

@@ -208,9 +208,12 @@ def test_typo_variant_join_broadcasts_query_side(spark, tmp_path):
     build_segments(docs, d, num_partitions=1)
     idx = load_index(spark, d)
     write_deletion_table(idx["term_stats"], d)
+    from pyf_aggregator_spark.search.typo import TYPO_DIR
+
     qdf = spark.createDataFrame([("w0000x",)], "qterm string").select(
-        "qterm", F.explode(_deletion_variants("qterm")).alias("variant")
+        "qterm",
+        F.explode(_deletion_variants("qterm", F.lit(2))).alias("variant"),
     )
-    dels = spark.read.parquet(f"{d}/typo_variants")
+    dels = spark.read.parquet(f"{d}/{TYPO_DIR}")
     joined = dels.join(F.broadcast(qdf), "variant")
     assert "BroadcastHashJoin" in plan_of(joined)

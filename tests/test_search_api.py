@@ -11,13 +11,44 @@ from pyf_aggregator_spark.search.api import parse_filter_by, search
 
 def test_parse_filter_by():
     assert parse_filter_by(None) == []
-    assert parse_filter_by("lang:=en") == [("lang", ["en"])]
+    assert parse_filter_by("lang:=en") == [("lang", ["en"], False)]
     assert parse_filter_by("lang:=[en, de] && source:=src1") == [
-        ("lang", ["en", "de"]),
-        ("source", ["src1"]),
+        ("lang", ["en", "de"], False),
+        ("source", ["src1"], False),
     ]
     with pytest.raises(ValueError):
         parse_filter_by("lang>5")
+
+
+def test_parse_filter_by_backticks_and_negation():
+    # backtick-quoted value containing && and , (db.py:16-22 quoting)
+    assert parse_filter_by("source:=`a && b, c`") == [
+        ("source", ["a && b, c"], False)
+    ]
+    assert parse_filter_by("source:=[`x,y`, plain] && lang:=en") == [
+        ("source", ["x,y", "plain"], False),
+        ("lang", ["en"], False),
+    ]
+    # negated exclude filter (F4 semantics)
+    assert parse_filter_by("lang:!=en && source:!=[s1, s2]") == [
+        ("lang", ["en"], True),
+        ("source", ["s1", "s2"], True),
+    ]
+
+
+def test_apply_filters_negation_keeps_nulls(spark):
+    """Exclude is 3VL null-tolerant: NULL is not in any excluded set
+    (the F4 exclude-registry trap — plain NOT IN drops nulls)."""
+    from pyf_aggregator_spark.search.api import _apply_filters
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, None)], "doc_id long, lang string"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in _apply_filters(df, parse_filter_by("lang:!=en")).collect()
+    )
+    assert got == [2, 3]  # the NULL row survives the exclude
 
 
 def test_search_ranked_matches_wand(spark, sf_dir):
@@ -80,6 +111,126 @@ def test_search_match_all_sort_and_page(spark, sf_dir):
         r["doc_id"] for r in want
     ]
     assert res["found"] == docs.filter(F.col("lang") == "en").count()
+
+
+def test_search_grouped_respects_filter(spark, sf_dir):
+    """filter_by + group_by must actually filter (r3's only wrong-answer
+    path: the facade silently dropped the filter on the grouped branch)."""
+    base = {"q": "spark vector window", "group_by": "lang",
+            "group_limit": 2, "num_typos": 0}
+    unfiltered = search(spark, sf_dir, dict(base))
+    filtered = search(spark, sf_dir, dict(base, filter_by="lang:=en"))
+    assert {r["lang"] for r in unfiltered["grouped_hits"]} != {"en"}
+    assert {r["lang"] for r in filtered["grouped_hits"]} == {"en"}
+    # and the filtered groups agree with the directly-invoked engine
+    from pyf_aggregator_spark.operators.fulltext_extra import grouped_search
+    from pyf_aggregator_spark.registry import load
+
+    allowed = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    direct = grouped_search(
+        spark, sf_dir, "spark vector window", "lang", group_limit=2,
+        allowed=allowed,
+    ).collect()
+    assert [r.asDict() for r in direct] == filtered["grouped_hits"]
+
+
+def test_search_ranked_no_second_engine_and_exact_found(spark, sf_dir, monkeypatch):
+    """A ranked search touches ONLY the segment index (r3 perf-weak #2):
+    building the DataFrame engine on that path is an error. `found` must
+    still be the exact match-set size."""
+    import pyf_aggregator_spark.registry as reg
+
+    real_documents_index = reg.documents_index
+
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("DataFrame engine built on the ranked path")
+
+    monkeypatch.setattr(reg, "documents_index", boom)
+    res = search(spark, sf_dir, {"q": "spark vector", "per_page": 10,
+                                 "num_typos": 0})
+    resf = search(
+        spark, sf_dir,
+        {"q": "spark vector", "per_page": 10, "num_typos": 0,
+         "filter_by": "lang:=en"},
+    )
+    monkeypatch.setattr(reg, "documents_index", real_documents_index)
+
+    from pyf_aggregator_spark.registry import load
+    from pyf_aggregator_spark.search.engine import _scored
+
+    idx = real_documents_index(spark, sf_dir)
+    scored = _scored(idx, ["spark", "vector"])
+    assert res["found"] == scored.count()
+    en = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    assert resf["found"] == scored.join(
+        en.select("doc_id"), "doc_id", "left_semi"
+    ).count()
+    assert all(h["document"]["lang"] == "en" for h in resf["hits"])
+
+
+def test_search_drops_uncorrectable_token(spark, sf_dir):
+    """An unknown token with NO edit-distance neighbor contributes
+    nothing (typo.correct_terms contract): and-mode must not force zero
+    hits where Typesense would drop the token."""
+    res = search(
+        spark, sf_dir,
+        {"q": "spark qqqqwwwwxxxxzzzz", "mode": "and", "per_page": 5},
+    )
+    assert len(res["hits"]) == 5
+    direct = search(spark, sf_dir, {"q": "spark", "mode": "and",
+                                    "per_page": 5, "num_typos": 0})
+    assert [h["document"]["doc_id"] for h in res["hits"]] == [
+        h["document"]["doc_id"] for h in direct["hits"]
+    ]
+
+
+def test_search_query_by_weights_matches_graded_engine(spark, sf_dir):
+    """query_by/query_by_weights through the unified endpoint returns
+    the graded multifield query's answer (r3 missing #3: the engine
+    existed but the facade never composed it)."""
+    import pyf_aggregator_spark.operators.fulltext_extra as fx
+    from pyf_aggregator_spark.search.wand import wand_topk_multifield
+
+    res = search(
+        spark, sf_dir,
+        {"q": fx._5F_QUERY,
+         "query_by": "name,title,first_chapter,main_content,changelog",
+         "query_by_weights": "10,10,5,3,1",
+         "per_page": 25, "num_typos": 0},
+    )
+    direct = wand_topk_multifield(
+        fx.documents_multifield_index(spark, sf_dir), fx._5F_WEIGHTS,
+        fx._5F_QUERY, k=25,
+    ).collect()
+    assert [
+        (h["document"]["doc_id"], h["text_match"]) for h in res["hits"]
+    ] == [(r["doc_id"], r["score"]) for r in direct]
+    assert res["found"] >= len(res["hits"]) > 0
+    # filter_by composes with query_by (kernel-pushed allow-set)
+    resf = search(
+        spark, sf_dir,
+        {"q": fx._5F_QUERY,
+         "query_by": "name,title,first_chapter,main_content,changelog",
+         "query_by_weights": "10,10,5,3,1",
+         "filter_by": "lang:=en", "per_page": 25, "num_typos": 0},
+    )
+    assert 0 < resf["found"] < res["found"]
+    assert all(h["document"]["lang"] == "en" for h in resf["hits"])
+    # malformed / unsupported params are explicit errors, never silent
+    with pytest.raises(ValueError, match="weights length"):
+        search(spark, sf_dir,
+               {"q": "spark", "query_by": "name,title",
+                "query_by_weights": "10"})
+    with pytest.raises(ValueError, match="unknown query_by"):
+        search(spark, sf_dir,
+               {"q": "spark", "query_by": "nope"})
+    with pytest.raises(ValueError, match="not supported"):
+        search(spark, sf_dir,
+               {"q": "spark", "query_by": "name,title", "group_by": "lang"})
 
 
 def test_search_typo_highlight_and_grouped(spark, sf_dir):

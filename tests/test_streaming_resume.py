@@ -73,6 +73,85 @@ def test_stream_resume_exactly_once_file_sink(spark, sf_dir, tmp_path):
     assert spark.read.parquet(sink).count() == total
 
 
+def test_stream_replay_after_torn_commit_reapplies(spark, tmp_path, monkeypatch):
+    """ADVICE r3 (high): a crash inside _commit_staged AFTER the batch's
+    meta rows went live but BEFORE the pending marker was removed leaves
+    a torn commit whose lineage IS visible in meta. The restarted stream
+    must reconcile (roll the torn commit back) BEFORE consulting the
+    replay guard — otherwise it skips the replayed batch and the next
+    reconcile deletes its documents forever."""
+    import os as _os
+
+    import pytest
+    from pyf_aggregator_spark.fixtures.transcripts import transcripts_df
+    from pyf_aggregator_spark.index.builder import assign_doc_ids
+    from pyf_aggregator_spark.index.incremental import append_segments
+    from pyf_aggregator_spark.index.segments import build_segments
+    from pyf_aggregator_spark.search.wand import load_index, wand_topk
+    from pyf_aggregator_spark.streaming.live_index import (
+        _dense_ids,
+        stream_append_to_index,
+    )
+
+    base = assign_doc_ids(transcripts_df(spark, 300), num_partitions=2)
+    d = str(tmp_path / "tornidx")
+    build_segments(base.select("doc_id", "text"), d, num_partitions=2, lineage="b")
+
+    feed = transcripts_df(spark, 160, seed=33).select(
+        "conv_id", "turn_idx", "text"
+    ).persist()
+    feed.count()
+
+    # simulate the stream's batch 0 crashing at the last commit step:
+    # every rename done (meta lineage stream-0 is LIVE), marker present
+    real_remove = _os.remove
+
+    def rm(path, _r=real_remove):
+        if str(path).endswith(".json") and "pending" in str(path):
+            raise RuntimeError("simulated crash")
+        return _r(path)
+
+    monkeypatch.setattr(_os, "remove", rm)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        append_segments(
+            _dense_ids(feed, ["conv_id", "turn_idx"]), d,
+            num_partitions=1, lineage="stream-0",
+        )
+    monkeypatch.setattr(_os, "remove", real_remove)
+    assert _os.listdir(f"{d}/pending")  # the torn state is real
+
+    # the replay: same content arrives as batch 0 on a fresh checkpoint
+    src = str(tmp_path / "tornsrc")
+    _stage_chunk(feed, src, "d0", str(tmp_path))
+    applied = stream_append_to_index(
+        spark, src, d, str(tmp_path / "tornckpt")
+    )
+    assert applied == [0]  # NOT skipped: reconcile ran before the guard
+
+    # and the index equals a clean batch build over base + feed
+    from pyspark.sql import Window
+
+    n_base = base.count()
+    w = Window.orderBy("conv_id", "turn_idx")
+    shifted = feed.select(
+        (F.row_number().over(w) - 1 + F.lit(n_base)).cast("long").alias("doc_id"),
+        "text",
+    )
+    d2 = str(tmp_path / "tornref")
+    build_segments(
+        base.select("doc_id", "text").unionByName(shifted), d2,
+        num_partitions=2, lineage="r",
+    )
+    idx, ref = load_index(spark, d), load_index(spark, d2)
+    for q in ["w00000 w00001", "w00002"]:
+        ra = wand_topk(idx, q, k=12).collect()
+        rb = wand_topk(ref, q, k=12).collect()
+        assert [(r["doc_id"], r["score"]) for r in ra] == [
+            (r["doc_id"], r["score"]) for r in rb
+        ], q
+    feed.unpersist()
+
+
 def test_stream_append_to_index_exactly_once(spark, tmp_path):
     """The reference's feed→upsert loop: a document stream drives
     crash-safe index appends. Drained in two restarts on one

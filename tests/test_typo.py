@@ -82,6 +82,41 @@ def test_typo_search_all_garbage_empty(typo_idx):
     assert wand_topk_typo(idx, "zzqqy xxjjw", k=5).collect() == []
 
 
+def test_correct_terms_edit2_and_distance_preference(typo_idx):
+    """num_typos=2 (the Typesense default): a two-edit token of length
+    ≥ 7 corrects; a distance-1 candidate beats any distance-2 one."""
+    spark, d, idx = typo_idx
+    got = correct_terms(
+        spark, d,
+        ["wx00000x",  # len 8: two insertions into w00000 → distance 2
+         "w00001x"],  # len 7: dist 1 to w00001, dist 2 to w00000
+        idx["term_stats"],
+    )
+    assert got["wx00000x"] == "w00000"
+    assert got["w00001x"] == "w00001"  # lower distance wins, not df
+
+
+def test_correct_terms_length_gates(spark, tmp_path):
+    """Typesense's min_len_1typo=4 / min_len_2typo=7 gates: short
+    tokens get a smaller edit budget (exact match under 4 chars)."""
+    rows = [(0, "color book"), (1, "color book")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "gates")
+    build_segments(docs, d, num_partitions=1, lineage="g")
+    idx = load_index(spark, d)
+    write_deletion_table(idx["term_stats"], d)
+    got = correct_terms(
+        spark, d,
+        ["bok",    # len 3 < 4 → no tolerance, despite lev 1 to 'book'
+         "bokz",   # len 4 → budget 1, but lev('bokz','book') = 2 → None
+         "bookz"],  # len 5 → budget 1, lev 1 → corrects
+        idx["term_stats"],
+    )
+    assert got["bok"] is None
+    assert got["bokz"] is None
+    assert got["bookz"] == "book"
+
+
 def test_correction_prefers_higher_df(spark, tmp_path):
     """Among several distance-1 candidates the most frequent term wins
     (Typesense prefers popular corrections)."""
