@@ -134,9 +134,15 @@ def main() -> None:
     index = build_index(docs).cache().materialize()
     timings["build_query_cache"] = time.monotonic() - t0
 
-    def _min_of_2(fn) -> float:
+    # min-of-N for the query phases too (default 3): the round-3 bench
+    # read wand_batch_200 +27% on a min-of-2 — same workload, no code
+    # change on that path — which min-of-3 on a quiet host attributes to
+    # CPU steal, exactly like the round-2 build "regression"
+    q_repeats = max(1, int(os.environ.get("BENCH_QUERY_REPEATS", "3")))
+
+    def _min_of_n(fn) -> float:
         ts = []
-        for _ in range(2):
+        for _ in range(q_repeats):
             t0 = time.monotonic()
             fn()
             ts.append(time.monotonic() - t0)
@@ -151,7 +157,7 @@ def main() -> None:
         [(q["query_id"], q["query"], q["mode"], q["k"]) for q in bqs],
         "query_id string, query string, mode string, k int",
     )
-    timings["query_batch_200"] = _min_of_2(
+    timings["query_batch_200"] = _min_of_n(
         lambda: bm25_topk_batch(index, bqdf).collect()
     )
     extras["df_queries_per_sec"] = len(bqs) / timings["query_batch_200"]
@@ -162,7 +168,7 @@ def main() -> None:
         [(q["query_id"], q["query"], q["mode"], q["k"]) for q in qs],
         "query_id string, query string, mode string, k int",
     )
-    timings["query_batch_ref"] = _min_of_2(
+    timings["query_batch_ref"] = _min_of_n(
         lambda: bm25_topk_batch(index, qdf).collect()
     )
 
@@ -176,7 +182,7 @@ def main() -> None:
     idx["segments"] = idx["segments"].cache()
     idx["segments"].count()
 
-    timings["wand_batch_200"] = _min_of_2(
+    timings["wand_batch_200"] = _min_of_n(
         lambda: wand_topk_batch(idx, bqs).collect()
     )
     extras["queries_per_sec"] = len(bqs) / timings["wand_batch_200"]
@@ -185,7 +191,7 @@ def main() -> None:
         for q in qs:
             wand_topk(idx, q["query"], k=q["k"], mode=q["mode"]).collect()
 
-    timings["wand_queries_seq"] = _min_of_2(_run_wand)
+    timings["wand_queries_seq"] = _min_of_n(_run_wand)
     extras["wand_query_latency_sec"] = timings["wand_queries_seq"] / len(qs)
     idx["segments"].unpersist()
     shutil.rmtree(seg_dir, ignore_errors=True)

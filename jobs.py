@@ -93,6 +93,8 @@ def main() -> None:
     se.add_argument("--sf-dir", required=True,
                     help="tier dir with documents.parquet")
     se.add_argument("--q", required=True)
+    se.add_argument("--query-by", default=None)
+    se.add_argument("--query-by-weights", default=None)
     se.add_argument("--filter-by", default=None)
     se.add_argument("--facet-by", default=None)
     se.add_argument("--sort-by", default=None)
@@ -249,6 +251,8 @@ def main() -> None:
 
         params = {
             "q": args.q,
+            "query_by": args.query_by,
+            "query_by_weights": args.query_by_weights,
             "filter_by": args.filter_by,
             "facet_by": args.facet_by,
             "sort_by": args.sort_by,

@@ -1055,9 +1055,15 @@ def build_segments_from_postings(
     avgdl = total_len / n_docs
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    # compaction renumbers partitions over the surviving doc range
+    # compaction renumbers partitions over the surviving doc range;
+    # ranges capped like build_segments (bounded encode-task memory)
+    from pyf_aggregator_spark.index.segments import _max_docs_per_part
+
     max_doc = doc_stats.agg(F.max("doc_id")).collect()[0][0]
-    docs_per_part = max(1, math.ceil((max_doc + 1) / num_partitions))
+    docs_per_part = min(
+        max(1, math.ceil((max_doc + 1) / num_partitions)),
+        _max_docs_per_part(),
+    )
 
     term_stats = (
         tf.groupBy("term")

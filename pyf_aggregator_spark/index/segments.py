@@ -44,6 +44,17 @@ from pyf_aggregator_spark.index.codec import varbyte_encode_with_offsets
 
 BLOCK_SIZE = 128
 
+# Upper bound on docs per doc-range partition when the caller doesn't
+# pin the geometry: each partition is ONE applyInPandas encode task
+# holding the range's postings in pandas, so a purely cores-based part
+# count makes task memory grow LINEARLY with the corpus — measured
+# collapse at 2M turns on 4 cores (4 parts × ~20M posting rows → GC/
+# spill, 3.7k turns/s vs 5.9k with bounded ranges; BENCH/SCALING_RUN).
+# Partition count must scale with DATA, floored at cluster parallelism;
+# extra tasks beyond cores just queue in waves. Env-overridable.
+def _max_docs_per_part() -> int:
+    return int(os.environ.get("PYFAGG_DOCS_PER_PART", "131072"))
+
 SEGMENT_SCHEMA = (
     "part_id int, term string, block_id int, n int, first_doc long, "
     "last_doc long, max_norm double, docs_vb binary, tfs_vb binary, "
@@ -252,7 +263,9 @@ def build_multifield_segments(
         r["field"]: r["total_len"] / r["n_docs"] for r in corpus_rows
     }
     n_docs = corpus_rows[0]["n_docs"]  # identical across fields
-    docs_per_part = max(1, math.ceil(n_docs / num_partitions))
+    docs_per_part = min(
+        max(1, math.ceil(n_docs / num_partitions)), _max_docs_per_part()
+    )
 
     term_stats = (
         tf.groupBy("field", "term")
@@ -367,20 +380,21 @@ def build_segments(
         .select("doc_id", F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"))
     ).persist()
 
-    n_docs, total_len = doc_stats.agg(
-        F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
+    n_docs, total_len, max_doc = doc_stats.agg(
+        F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0)), F.max("doc_id")
     ).collect()[0]
     avgdl = avgdl_override if avgdl_override is not None else total_len / n_docs
     if docs_per_part is None:
-        # dense 0-based ids: partition by id range. Upsert deltas pass an
-        # explicit span instead (their ids are sparse re-used ones).
+        # partition by id RANGE. Part count covers the actual id span,
+        # not just n_docs: ids are dense 0-based in production
+        # (assign_doc_ids) where span == n_docs, but a sparse caller
+        # must not have its top-of-range docs silently dropped by a
+        # too-small part list (pre-r4 latent bug). Ranges are capped at
+        # _max_docs_per_part so encode-task memory is bounded by DATA
+        # geometry, not cluster size (see the constant's note).
         docs_per_part = max(1, math.ceil(n_docs / num_partitions))
-        n_parts = math.ceil(n_docs / docs_per_part)
-    else:
-        n_parts = math.ceil(
-            (docs.agg(F.max("doc_id")).collect()[0][0] - doc_base + 1)
-            / docs_per_part
-        )
+        docs_per_part = min(docs_per_part, _max_docs_per_part())
+    n_parts = math.ceil((max_doc - doc_base + 1) / docs_per_part)
 
     if write_stats:
         # stats tables (cheap, deterministic → overwrite every build)

@@ -366,6 +366,7 @@ def ft_grouped_search_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TS_PHRASE_Q = "spark vector"       # adjacency-verified phrase
 _TS_TYPO_Q = "custoemr vectr"       # distance-2 + distance-1 typos
 _TS_DROP_Q = "spark vector qqqzzz"  # unknown tail token → dropped
+_TS_PREFIX_Q = "vector s"           # 6 completions → slot-max visible
 _TS_K = 20
 
 
@@ -376,6 +377,7 @@ def _typesense_defaults_sql() -> str:
         "phrase": phrase_oracle_sql(_TS_PHRASE_Q, _TS_K),
         "typo": osql.typo_topk_sql(_TS_TYPO_Q, _TS_K),
         "drop": osql.drop_tokens_topk_sql(_TS_DROP_Q, _TS_K),
+        "prefix": osql.prefix_topk_sql(_TS_PREFIX_Q, _TS_K),
     }
     parts = [
         f"SELECT '{name}' AS behavior, doc_id, score FROM ({sql.strip()})"
@@ -397,9 +399,15 @@ def ft_typesense_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
       'custoemr'→'customer' is a DISTANCE-2 fix (search/typo.py);
     - ``drop``: drop_tokens_threshold=1 right-to-left fallback — the
       unknown tail token is dropped and the AND query retried
-      (search/fallback.py)."""
+      (search/fallback.py);
+    - ``prefix``: last-token autocomplete with Typesense's
+      single-completion scoring — the expansion set is one kernel SLOT,
+      each doc scores its BEST completion (search/prefix.py +
+      wand_topk_slots; the oracle replays expansion + slot-max from
+      dfreq independently)."""
     from pyf_aggregator_spark.search.fallback import wand_topk_drop_tokens
     from pyf_aggregator_spark.search.phrase import phrase_topk
+    from pyf_aggregator_spark.search.prefix import wand_topk_prefix
     from pyf_aggregator_spark.search.typo import wand_topk_typo
 
     idx = documents_segment_index(spark, sf_dir)
@@ -413,9 +421,13 @@ def ft_typesense_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, _TS_DROP_Q, k=_TS_K, mode="and", threshold=1
     )
     drop = dropped.select(F.lit("drop").alias("behavior"), "doc_id", "score")
+    prefix = wand_topk_prefix(idx, _TS_PREFIX_Q, k=_TS_K, mode="or").select(
+        F.lit("prefix").alias("behavior"), "doc_id", "score"
+    )
     return (
         phrase.unionByName(typo)
         .unionByName(drop)
+        .unionByName(prefix)
         .orderBy("behavior", F.desc("score"), F.asc("doc_id"))
     )
 

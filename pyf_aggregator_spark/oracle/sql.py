@@ -241,6 +241,52 @@ LIMIT {k}
 """
 
 
+def prefix_topk_sql(query: str, k: int = 10, max_expansions: int = 50) -> str:
+    """Prefix (autocomplete) oracle with Typesense's single-completion
+    scoring: the last token expands against the vocabulary (df-ranked,
+    capped — replayed HERE from dfreq, independently of the engine's
+    expansion), fixed tokens score normally, and the expansion set
+    contributes each doc's BEST completion (MAX), mirroring
+    search/prefix.py + wand.py::wand_topk_slots. Disjunctive across
+    slots."""
+    toks = tokenize_py(query)
+    assert toks, "prefix oracle needs a non-empty query"
+    *fixed, last = toks
+    fixed = sorted(set(fixed))
+    fixed_in = ", ".join(f"'{t}'" for t in fixed) or "''"
+    pre = last.replace("'", "''")
+    return f"""
+WITH {TOKENS_CTE},
+exp AS (
+  SELECT term FROM dfreq
+  WHERE term LIKE '{pre}%' AND term NOT IN ({fixed_in})
+  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+per AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / c.avgdl))
+         AS contrib
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+  WHERE tf.term IN ({fixed_in}) OR tf.term IN (SELECT term FROM exp)
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(sum(CASE WHEN term IN ({fixed_in}) THEN contrib END), 0)
+         + coalesce(max(CASE WHEN term NOT IN ({fixed_in}) THEN contrib END), 0)
+         AS raw_score
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, round(raw_score, {SCORE_DECIMALS}) AS score
+FROM agg
+ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def term_stats_sql() -> str:
     return f"WITH {TOKENS_CTE} SELECT term, df, cf FROM dfreq ORDER BY term"
 

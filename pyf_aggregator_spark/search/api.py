@@ -14,8 +14,10 @@ applies silently) and returns a Typesense-shaped response dict:
                          one WAND pass (wand_topk_multifield)
     filter_by            "field:=value" / "field:=[v1,v2]", joined by &&
     facet_by             comma list of facet fields
-    sort_by              "field:desc|asc" (match-all path; ranked
-                         queries sort by text_match like Typesense)
+    sort_by              "field:desc|asc" — on match-all AND ranked
+                         queries (ranked: the match set is ordered by
+                         the sort field via the no-scoring match-ids
+                         kernel, Typesense's sort_by override)
     page / per_page      1-based pagination (defaults 1 / 10)
     group_by/group_limit grouped results
     num_typos            typo budget (default 2, Typesense's default;
@@ -132,6 +134,7 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     from pyf_aggregator_spark.search.typo import correct_terms
     from pyf_aggregator_spark.search.wand import (
         wand_match_ids,
+        wand_match_ids_multifield,
         wand_topk_with_found,
     )
 
@@ -193,11 +196,6 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         unknown = sorted(set(fields) - set(mf["avgdl_by_field"]))
         if unknown:
             raise ValueError(f"unknown query_by fields: {unknown}")
-        for p in ("group_by", "facet_by"):
-            if params.get(p):
-                # explicit, not silently wrong (r3 lesson): these
-                # combinations aren't wired to the multifield kernel yet
-                raise ValueError(f"{p} with query_by is not supported")
         typo_stats = mf["term_stats"].groupBy("term").agg(
             F.sum("df").alias("df")
         )
@@ -217,24 +215,81 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         # query (a zero-hit search, but a well-formed one).
         corrected = [mapping[t] for t in terms if mapping.get(t) is not None]
         terms = corrected or terms
+    slot_terms = None
     if params.get("prefix") and terms:
+        # Typesense scoring: the expansion set is ONE slot (the best
+        # completion scores; the prefix counts as one query token)
         *fixed, last = terms
-        terms = sorted(
-            set(fixed) | set(expand_prefix(typo_stats, last) or [last])
-        )
+        expansions = expand_prefix(typo_stats, last) or [last]
+        slot_terms = [[t] for t in dict.fromkeys(fixed)] + [expansions]
+        terms = sorted(set(fixed) | set(expansions))
     query = " ".join(terms)
     mode = params.get("mode", "or")
     allowed = (
         filtered_docs.select("doc_id") if clauses else None
     )
 
+    # sort_by on a RANKED query (Typesense: the match set is ordered by
+    # the sort field, not by text_match): the exact match set comes from
+    # the no-scoring match-ids kernel, the sort/page is plain DataFrame
+    # algebra over the docs join — still segment-only, never collected
+    # beyond the k-row page.
+    sort_by = params.get("sort_by")
+    if sort_by:
+        if mf is not None:
+            match = wand_match_ids_multifield(
+                mf, sorted(weights), query, allowed=allowed
+            )
+        else:
+            match = wand_match_ids(idx, query, mode=mode, allowed=allowed)
+        field, _, direction = sort_by.partition(":")
+        order = (
+            F.desc(field) if direction.strip() == "desc" else F.asc(field)
+        )
+        out = docs.join(match, "doc_id").orderBy(order, F.asc("doc_id"))
+        found = out.count()
+        rows = out.limit(page * per_page).collect()[(page - 1) * per_page :]
+        return {
+            "found": found,
+            "page": page,
+            "hits": [{"document": r.asDict(), "text_match": None} for r in rows],
+            "facet_counts": _facets(
+                params.get("facet_by"), docs.join(match, "doc_id")
+            ),
+        }
+
     group_by = params.get("group_by")
     if group_by:
         limit = int(params.get("group_limit", 1))
-        grouped = grouped_search(
-            spark, sf_dir, query, group_by, group_limit=limit,
-            allowed=allowed,
-        ).collect()
+        if mf is not None:
+            # grouped multifield search: weighted WAND candidates →
+            # per-group window (same shape as grouped_search)
+            from pyspark.sql import Window
+
+            from pyf_aggregator_spark.search.wand import wand_topk_multifield
+
+            cand = wand_topk_multifield(
+                mf, weights, query,
+                k=max(100, page * per_page * limit), allowed=allowed,
+            )
+            gdocs = docs.select("doc_id", group_by)
+            w = Window.partitionBy(group_by).orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            grouped = (
+                F.broadcast(cand)
+                .join(gdocs, "doc_id")
+                .withColumn("rank_in_group", F.row_number().over(w))
+                .filter(F.col("rank_in_group") <= limit)
+                .select(group_by, "rank_in_group", "doc_id", "score")
+                .orderBy(group_by, "rank_in_group")
+                .collect()
+            )
+        else:
+            grouped = grouped_search(
+                spark, sf_dir, query, group_by, group_limit=limit,
+                allowed=allowed,
+            ).collect()
         return {
             "found": len(grouped),
             "page": page,
@@ -250,6 +305,14 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
 
         all_rows, found = wand_topk_multifield_with_found(
             mf, weights, query, k=k, allowed=allowed
+        )
+    elif slot_terms is not None:
+        from pyf_aggregator_spark.search.wand import (
+            wand_topk_slots_with_found,
+        )
+
+        all_rows, found = wand_topk_slots_with_found(
+            idx, slot_terms, k=k, mode=mode, allowed=allowed
         )
     elif drop_threshold and mode == "and":
         all_rows, used_terms, found = drop_tokens_with_found(
@@ -291,7 +354,12 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         # hit-set facets need the match IDS, not just the count: one
         # extra kernel pass emitting the distributed (filtered) match
         # set — still segment-only, aggregated map-side, never collected
-        match_set = wand_match_ids(idx, query, mode=mode, allowed=allowed)
+        if mf is not None:
+            match_set = wand_match_ids_multifield(
+                mf, sorted(weights), query, allowed=allowed
+            )
+        else:
+            match_set = wand_match_ids(idx, query, mode=mode, allowed=allowed)
         facet_counts = _facets(
             params.get("facet_by"), docs.join(match_set, "doc_id")
         )

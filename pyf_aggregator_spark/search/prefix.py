@@ -9,10 +9,12 @@ Typesense's behavior), and the expanded OR query runs through the
 normal WAND pass. The vocabulary is millions of rows where the corpus
 is 10^12 — the expansion lookup is noise next to the search itself.
 
-Scoring note: the expanded terms all contribute (BM25 OR over the
-expansion set); Typesense scores the single matched completion.
-Ranking by total evidence for the prefix is a documented, deterministic
-choice — completions of the prefix ARE matches of the query intent.
+Scoring (r4, Typesense-reconciled): the expansion set forms ONE scoring
+SLOT in the WAND kernel — a doc's score for the prefix token is the MAX
+over the completions it matches (its best single completion), exactly
+Typesense's behavior, and the prefix counts as one query token for
+and-mode. The pre-r4 sum-over-expansions behavior is gone (it ranked
+docs matching many completions above docs matching the best one).
 """
 
 from __future__ import annotations
@@ -40,20 +42,31 @@ def expand_prefix(
     return [r["term"] for r in rows]
 
 
-def wand_topk_prefix(
-    idx: dict, query: str, k: int = 10, max_expansions: int = MAX_EXPANSIONS
-) -> DataFrame:
-    """Autocomplete-style top-k: the last token is treated as a prefix
-    and expanded against the vocabulary; fixed tokens stay exact."""
-    from pyf_aggregator_spark.search.wand import wand_topk
-
-    spark = idx["segments"].sparkSession
+def prefix_slot_terms(
+    idx: dict, query: str, max_expansions: int = MAX_EXPANSIONS
+) -> list[list[str]]:
+    """query → slot groups: each fixed token is its own singleton slot,
+    the last token's expansion set is ONE shared slot."""
     terms = tokenize_py(query)
     if not terms:
-        return spark.createDataFrame([], "doc_id long, score double")
+        return []
     *fixed, last = terms
     expansions = expand_prefix(idx["term_stats"], last, max_expansions)
-    all_terms = sorted(set(fixed) | set(expansions))
-    if not all_terms:
+    return [[t] for t in dict.fromkeys(fixed)] + [expansions or [last]]
+
+
+def wand_topk_prefix(
+    idx: dict, query: str, k: int = 10, mode: str = "or",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """Autocomplete-style top-k: the last token is treated as a prefix
+    and expanded against the vocabulary; fixed tokens stay exact. The
+    expansion set scores as one slot (max over completions) — rank-
+    identical to Typesense's best-completion scoring."""
+    from pyf_aggregator_spark.search.wand import wand_topk_slots
+
+    spark = idx["segments"].sparkSession
+    slot_terms = prefix_slot_terms(idx, query, max_expansions)
+    if not slot_terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    return wand_topk(idx, " ".join(all_terms), k=k, mode="or")
+    return wand_topk_slots(idx, slot_terms, k=k, mode=mode)

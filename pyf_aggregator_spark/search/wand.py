@@ -161,15 +161,29 @@ def _topk_one_query(
     factor: float,
     tombstones: np.ndarray,
     allowed: np.ndarray | None = None,
+    slots: dict[str, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Interval-granular block-max WAND over one partition's blocks.
 
     Heap/prune decisions use ROUNDED scores: the global rank is
     (round(score,4) desc, doc_id asc), so a raw-score heap could keep
     the wrong doc among rounding-equal ties. Pruning is safe because
-    round is monotone: round(ub) < θ ⟹ round(s) < θ ∀ s ≤ ub."""
+    round is monotone: round(ub) < θ ⟹ round(s) < θ ∀ s ≤ ub.
+
+    ``slots`` (optional) groups terms into scoring slots: a doc's score
+    for a slot is the MAX over the slot's matched members (not the
+    sum), and nmatch counts SLOTS — the Typesense prefix-expansion
+    semantics (the best single completion scores, the prefix counts as
+    ONE query token). None → every term is its own slot (plain BM25).
+    The interval upper bound stays Σ per-term bounds, which dominates
+    the Σ-of-slot-maxima true score — pruning stays exact, merely less
+    tight on slotted queries."""
     terms = [t for t in terms if t in blocks.per_term]
-    if not terms or (mode == "and" and len(terms) < n_query_terms):
+    if slots is not None:
+        n_live_slots = len({slots[t] for t in terms})
+        if not terms or (mode == "and" and n_live_slots < n_query_terms):
+            return []
+    elif not terms or (mode == "and" and len(terms) < n_query_terms):
         return []
     idf_map = blocks.idf_map
 
@@ -197,7 +211,18 @@ def _topk_one_query(
         ub += np.where(ok, idf_map[t] * maxn[np.clip(bi, 0, None)] * factor, 0.0)
         active[ti] = ok
     if mode == "and":
-        ub = np.where(active.all(axis=0), ub, 0.0)
+        if slots is None:
+            ok = active.all(axis=0)
+        else:
+            # all SLOTS must be active (any member term), not all terms
+            ok = np.ones(n_ivl, dtype=bool)
+            for sid in sorted({slots[t] for t in terms}):
+                member = np.zeros(n_ivl, dtype=bool)
+                for ti, t in enumerate(terms):
+                    if slots[t] == sid:
+                        member |= active[ti]
+                ok &= member
+        ub = np.where(ok, ub, 0.0)
 
     order = np.argsort(-ub, kind="mergesort")
     heap: list[tuple[float, int, float]] = []  # (round_score, -doc_id, raw)
@@ -209,19 +234,41 @@ def _topk_one_query(
             break  # ub desc ⟹ every remaining interval rounds below θ
         lo, hi = int(ivl_lo[i]), int(ivl_hi[i])
         width = hi - lo + 1
-        acc = np.zeros(width, dtype=np.float64)
-        nmatch = np.zeros(width, dtype=np.int32)
-        for ti, t in enumerate(terms):
-            if not active[ti, i]:
-                continue
-            ids, sc = blocks.postings(t)
-            a = np.searchsorted(ids, lo, side="left")
-            b_ = np.searchsorted(ids, hi, side="right")
-            if a == b_:
-                continue
-            off = ids[a:b_] - lo
-            acc[off] += sc[a:b_]
-            nmatch[off] += 1
+        if slots is None:
+            acc = np.zeros(width, dtype=np.float64)
+            nmatch = np.zeros(width, dtype=np.int32)
+            for ti, t in enumerate(terms):
+                if not active[ti, i]:
+                    continue
+                ids, sc = blocks.postings(t)
+                a = np.searchsorted(ids, lo, side="left")
+                b_ = np.searchsorted(ids, hi, side="right")
+                if a == b_:
+                    continue
+                off = ids[a:b_] - lo
+                acc[off] += sc[a:b_]
+                nmatch[off] += 1
+        else:
+            slot_best: dict[int, np.ndarray] = {}
+            for ti, t in enumerate(terms):
+                if not active[ti, i]:
+                    continue
+                ids, sc = blocks.postings(t)
+                a = np.searchsorted(ids, lo, side="left")
+                b_ = np.searchsorted(ids, hi, side="right")
+                if a == b_:
+                    continue
+                off = ids[a:b_] - lo
+                arr = slot_best.get(slots[t])
+                if arr is None:
+                    arr = np.zeros(width, dtype=np.float64)
+                    slot_best[slots[t]] = arr
+                arr[off] = np.maximum(arr[off], sc[a:b_])
+            acc = np.zeros(width, dtype=np.float64)
+            nmatch = np.zeros(width, dtype=np.int32)
+            for arr in slot_best.values():
+                acc += arr
+                nmatch += (arr > 0.0)
         hit = (nmatch == n_query_terms) if mode == "and" else (nmatch > 0)
         offs = np.flatnonzero(hit)
         if tombstones.size and offs.size:
@@ -261,17 +308,32 @@ def _match_ids_one_query(
     n_query_terms: int,
     tombstones: np.ndarray,
     allowed: np.ndarray | None,
+    slots: dict[str, int] | None = None,
 ) -> np.ndarray:
     """Exact matched doc_ids in one partition (post tombstone/filter),
     WITHOUT scoring: per-term posting ids are unioned (or) /
     count-intersected (and). No heap, no pruning — the count must cover
     docs WAND would prune, but the scan is still term-filtered, so the
     cost is the query terms' postings in this partition, not the
-    corpus."""
+    corpus. With ``slots``, membership counts SLOTS (a slot matches if
+    any member term matches — the prefix-expansion semantics)."""
     terms = [t for t in terms if t in blocks.per_term]
-    if not terms or (mode == "and" and len(terms) < n_query_terms):
-        return np.empty(0, dtype=np.int64)
-    per = [np.unique(blocks.postings(t)[0]) for t in terms]
+    if slots is not None:
+        if not terms or (
+            mode == "and" and len({slots[t] for t in terms}) < n_query_terms
+        ):
+            return np.empty(0, dtype=np.int64)
+        by_slot: dict[int, list[str]] = {}
+        for t in terms:
+            by_slot.setdefault(slots[t], []).append(t)
+        per = [
+            np.unique(np.concatenate([blocks.postings(t)[0] for t in ts]))
+            for ts in by_slot.values()
+        ]
+    else:
+        if not terms or (mode == "and" and len(terms) < n_query_terms):
+            return np.empty(0, dtype=np.int64)
+        per = [np.unique(blocks.postings(t)[0]) for t in terms]
     if mode == "and":
         ids, counts = np.unique(np.concatenate(per), return_counts=True)
         ids = ids[counts == n_query_terms]
@@ -286,7 +348,8 @@ def _match_ids_one_query(
 
 def _wand_partition(idf_map: dict[str, float], avgdl: float, k: int, mode: str,
                     n_query_terms: int, bound_factor: dict[int, float],
-                    filtered: bool = False, count_matches: bool = False):
+                    filtered: bool = False, count_matches: bool = False,
+                    slots: dict[str, int] | None = None):
     """applyInPandas kernel: blocks of one doc-range partition → local
     top-k. ``bound_factor[part_id]`` inflates stored block maxima when
     the corpus avgdl grew past the partition's build-time avgdl after
@@ -315,14 +378,14 @@ def _wand_partition(idf_map: dict[str, float], avgdl: float, k: int, mode: str,
         blocks = _PartitionBlocks(pdf, idf_map, avgdl)
         hits = _topk_one_query(
             blocks, sorted(idf_map), k, mode, n_query_terms,
-            bound_factor.get(part_id, 1.0), tomb_ids, allowed,
+            bound_factor.get(part_id, 1.0), tomb_ids, allowed, slots,
         )
         ids = [d for d, _ in hits]
         scores = [s for _, s in hits]
         if count_matches:
             n = _match_ids_one_query(
                 blocks, sorted(idf_map), mode, n_query_terms, tomb_ids,
-                allowed,
+                allowed, slots,
             ).size
             ids.append(COUNT_DOC_ID)
             scores.append(float(n))
@@ -564,6 +627,109 @@ def wand_topk_with_found(
     return cand[:k], found
 
 
+def _slots_spec(
+    idx: dict, slot_terms: list[list[str]], mode: str
+) -> tuple[dict[str, float], dict[str, int]] | None:
+    """slot groups → (idf_map, term→slot), or None when zero-hit by
+    construction (no term present; and-mode with a dead slot)."""
+    all_terms = sorted({t for g in slot_terms for t in g})
+    if not all_terms:
+        return None
+    idf_rows = (
+        idx["term_stats"]
+        .filter(F.col("term").isin(all_terms))
+        .select("term", "idf")
+        .collect()
+    )
+    present = {r["term"]: r["idf"] for r in idf_rows}
+    slots: dict[str, int] = {}
+    for si, g in enumerate(slot_terms):
+        for t in g:
+            if t in present and t not in slots:
+                slots[t] = si
+    if not slots:
+        return None
+    if mode == "and" and len(set(slots.values())) < len(slot_terms):
+        return None  # a slot with no live member can never match
+    idf_map = {t: present[t] for t in slots}
+    return idf_map, slots
+
+
+def wand_topk_slots(
+    idx: dict,
+    slot_terms: list[list[str]],
+    k: int = 10,
+    mode: str = "or",
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Slotted top-k: each group in ``slot_terms`` scores as the MAX
+    over its matched members; groups sum. This is Typesense's prefix
+    semantics — the expansion set of a prefix token is ONE slot (the
+    best single completion scores, the prefix counts as one query
+    token), fixed tokens are singleton slots."""
+    spark = idx["segments"].sparkSession
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+    spec = _slots_spec(idx, slot_terms, mode)
+    if spec is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_map, slots = spec
+    seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
+    local = _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
+        _wand_partition(
+            idf_map, idx["avgdl"], k, mode, len(slot_terms),
+            idx.get("bound_factor", {}), filtered=allowed is not None,
+            slots=slots,
+        ),
+        "doc_id long, raw_score double",
+    )
+    return (
+        local.select(
+            "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def wand_topk_slots_with_found(
+    idx: dict,
+    slot_terms: list[list[str]],
+    k: int = 10,
+    mode: str = "or",
+    allowed: DataFrame | None = None,
+) -> tuple[list[dict], int]:
+    """Slotted twin of wand_topk_with_found (one kernel pass → top-k +
+    exact found, slot-max scoring)."""
+    spark = idx["segments"].sparkSession
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+    spec = _slots_spec(idx, slot_terms, mode)
+    if spec is None:
+        return [], 0
+    idf_map, slots = spec
+    seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
+    local = _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
+        _wand_partition(
+            idf_map, idx["avgdl"], k, mode, len(slot_terms),
+            idx.get("bound_factor", {}), filtered=allowed is not None,
+            count_matches=True, slots=slots,
+        ),
+        "doc_id long, raw_score double",
+    )
+    rows = local.collect()
+    found = int(sum(r["raw_score"] for r in rows if r["doc_id"] == COUNT_DOC_ID))
+    cand = [
+        {"doc_id": r["doc_id"], "score": float(_rnd(r["raw_score"]))}
+        for r in rows
+        if r["doc_id"] != COUNT_DOC_ID
+    ]
+    cand.sort(key=lambda h: (-h["score"], h["doc_id"]))
+    return cand[:k], found
+
+
 def wand_match_ids(
     idx: dict, query: str, mode: str = "or",
     allowed: DataFrame | None = None,
@@ -769,6 +935,61 @@ def wand_topk_multifield_with_found(
     ]
     cand.sort(key=lambda h: (-h["score"], h["doc_id"]))
     return cand[:k], found
+
+
+def wand_match_ids_multifield(
+    idx: dict,
+    fields: list[str],
+    query: str,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """→ DataFrame(doc_id long): docs matching ANY query term in ANY of
+    ``fields`` (deduplicated), post tombstones/filter — the multifield
+    twin of wand_match_ids, feeding facet/grouped/sort_by paths. No
+    scoring; the scan stays term- and field-pruned."""
+    spark = idx["segments"].sparkSession
+    from pyf_aggregator_spark.session import ensure_py_files
+
+    ensure_py_files(spark)
+    terms = sorted(set(tokenize_py(query)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    stats = (
+        idx["term_stats"]
+        .filter(F.col("term").isin(terms) & F.col("field").isin(fields))
+        .select("field", "term")
+        .collect()
+    )
+    if not stats:
+        return spark.createDataFrame([], "doc_id long")
+    keys = {r["field"] + FIELD_SEP + r["term"] for r in stats}
+    idf_map = dict.fromkeys(keys, 1.0)  # scores unused on this path
+    filtered = allowed is not None
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf, tomb_ids, allowed_map = _split_tombstones(pdf)
+        allow = (allowed_map or {}).get("")
+        if filtered and allow is None:
+            allow = np.empty(0, dtype=np.int64)
+        if pdf.empty or (filtered and allow.size == 0):
+            return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
+        blocks = _PartitionBlocks(pdf, idf_map, 1.0)
+        ids = _match_ids_one_query(
+            blocks, sorted(idf_map), "or", len(idf_map), tomb_ids, allow
+        )
+        return pd.DataFrame({"doc_id": ids})
+
+    seg = (
+        idx["segments"]
+        .filter(F.col("term").isin(terms) & F.col("field").isin(fields))
+        .withColumn("term", F.concat("field", F.lit(FIELD_SEP), "term"))
+        .select(*_SEG_COLS)
+    )
+    return (
+        _seg_with_tombstones(idx, seg, allowed)
+        .groupBy("part_id")
+        .applyInPandas(fn, "doc_id long")
+    )
 
 
 def wand_topk_batch(idx: dict, queries: list[dict]) -> DataFrame:

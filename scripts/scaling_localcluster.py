@@ -40,7 +40,13 @@ from pyf_aggregator_spark.index.segments import build_segments
 
 corpus_path = {corpus!r}
 master = {master!r}
-spark = get_spark(app_name="scale-lc", master=master)
+# local-cluster's third arg is WORKER capacity; the executor HEAP is
+# spark.executor.memory (default 1g — OOMs at 2M turns). Size the heap
+# to the worker allowance minus overhead.
+spark = get_spark(
+    app_name="scale-lc", master=master,
+    extra_conf={{"spark.executor.memory": {exec_mem!r}}},
+)
 phases = {{}}
 
 t0 = time.monotonic()
@@ -64,8 +70,10 @@ spark.stop()
 """
 
 
-def run_child(master: str, corpus: str) -> dict:
-    code = _CHILD.format(repo=HERE, corpus=corpus, master=master)
+def run_child(master: str, corpus: str, exec_mem: str = "3g") -> dict:
+    code = _CHILD.format(
+        repo=HERE, corpus=corpus, master=master, exec_mem=exec_mem
+    )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=3000, check=True,
@@ -100,8 +108,9 @@ def main() -> None:
 
     smalls, bigs = [], []
     for i in range(args.alternations):
-        smalls.append(run_child(m_small, corpus))
-        bigs.append(run_child(m_big, corpus))
+        exec_mem = f"{max(1024, args.mem_mb - 1024)}m"
+        smalls.append(run_child(m_small, corpus, exec_mem))
+        bigs.append(run_child(m_big, corpus, exec_mem))
         print(
             f"alt {i}: small {smalls[-1]['build_turns_per_sec']:.0f} t/s, "
             f"big {bigs[-1]['build_turns_per_sec']:.0f} t/s",

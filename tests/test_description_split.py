@@ -472,3 +472,252 @@ def test_unknown_content_type_falls_back_to_rst():
     html = render_description_py("Zed\n===\n\nbody\n", "application/unknown")
     got = split_description_py(html)
     assert got["title"] == "Zed"
+
+
+# ------------------------------------------------- round-4 golden additions
+# (porting the remaining behavior classes of the reference's expected-
+# output tables: edge cases, strip-helper contracts, per-field markup
+# preservation, nested-section real-world shapes, demotion attributes)
+
+
+def test_split_none_empty_whitespace_all_empty():
+    """None / '' / whitespace-only descriptions → every field empty
+    (reference TestEdgeCases)."""
+    for desc in (None, "", "   \n\t  "):
+        got = split_description_py(desc)
+        assert got == {
+            "title": "", "first_chapter": "", "main_content": "",
+            "changelog": "",
+        }, repr(desc)
+
+
+def test_split_complex_structure_golden():
+    """The reference's complex fixture shape (plone.api): lists + code
+    blocks across 4 sections with a multi-version changelog."""
+    html = (
+        "<h2>plone.api</h2><p>A simple API to access functionality.</p>"
+        "<ul><li>Easy to use</li><li>Well documented</li></ul>"
+        "<h2>Installation</h2><p>Run: <code>pip install plone.api</code></p>"
+        "<h2>Usage</h2><pre><code>from plone import api</code></pre>"
+        "<h2>Changelog</h2><h3>2.0.0</h3><ul><li>Major release</li></ul>"
+        "<h3>1.0.0</h3><ul><li>Initial release</li></ul>"
+    )
+    got = split_description_py(html)
+    assert got["title"] == "plone.api"
+    assert "simple API" in got["first_chapter"]
+    assert "<li>Easy to use</li>" in got["first_chapter"]
+    assert "pip install" in got["main_content"]
+    assert "from plone import api" in got["main_content"]
+    assert "Major release" in got["changelog"]
+    assert "Initial release" in got["changelog"]
+    assert "Major release" not in got["main_content"]
+
+
+def test_split_nested_section_realworld_example():
+    """The reference's real-world nested-section case (iMio news): title
+    from the inner h3, section wrappers dropped everywhere."""
+    html = (
+        '<section id="imio-news-core"><h3>imio.news.core</h3>'
+        "<p>Core product for iMio news websites</p>"
+        '<section id="features"><h4>Features</h4>'
+        "<ul><li>Can be used...</li></ul></section></section>"
+    )
+    got = split_description_py(html)
+    assert got["title"] == "imio.news.core"
+    assert "<h3>imio.news.core</h3>" in got["first_chapter"]
+    assert "Core product for iMio news websites" in got["first_chapter"]
+    assert "<section" not in got["first_chapter"]
+    assert "Features" in got["main_content"]
+    assert "<section" not in got["main_content"]
+
+
+def test_split_deeply_nested_sections():
+    """Three levels of <section> nesting: boundaries seen through every
+    wrapper, content split at the SECOND heading."""
+    html = (
+        '<section id="outer"><h2>Outer Title</h2><p>Outer intro.</p>'
+        '<section id="middle"><h3>Middle Section</h3><p>Middle content.</p>'
+        '<section id="inner"><h4>Inner Section</h4><p>Inner content.</p>'
+        "</section></section></section>"
+    )
+    got = split_description_py(html)
+    assert got["title"] == "Outer Title"
+    assert "Outer intro." in got["first_chapter"]
+    assert "Middle content." in got["main_content"]
+    assert "Inner content." in got["main_content"]
+    assert "<section" not in got["main_content"]
+
+
+def test_split_single_section_all_first_chapter():
+    html = (
+        '<section id="simple-package"><h3>Simple Package</h3>'
+        "<p>This is a simple package with no sub-sections.</p>"
+        "<p>Just some paragraphs of content.</p></section>"
+    )
+    got = split_description_py(html)
+    assert got["title"] == "Simple Package"
+    assert "no sub-sections" in got["first_chapter"]
+    assert "Just some paragraphs" in got["first_chapter"]
+    assert got["main_content"] == "" and got["changelog"] == ""
+
+
+def test_split_main_content_preserves_images_and_links():
+    """Stripping is a FIRST-CHAPTER rule only: main_content keeps <img>,
+    main_content and changelog keep <a href> (reference
+    TestLinkStrippingInFirstChapter)."""
+    html = (
+        "<h2>T</h2><p>Introduction.</p>"
+        '<h2>Installation</h2><p>Screenshot: <img src="screenshot.png" '
+        'alt="screenshot"> and <a href="https://pypi.org">PyPI</a>.</p>'
+        '<h2>Changelog</h2><p>See <a href="https://github.com">GitHub</a>.</p>'
+    )
+    got = split_description_py(html)
+    assert '<img src="screenshot.png"' in got["main_content"]
+    assert 'href="https://pypi.org"' in got["main_content"]
+    assert 'href="https://github.com"' in got["changelog"]
+
+
+def test_split_multiple_links_stripped_text_in_context():
+    html = (
+        "<h2>Package</h2>"
+        '<p><a href="a">One</a>, <a href="b">Two</a>, <a href="c">Three</a>'
+        ' — please visit <a href="x">our documentation</a> for more info.</p>'
+    )
+    got = split_description_py(html)
+    fc = got["first_chapter"]
+    assert "<a" not in fc and "href" not in fc
+    assert "One, Two, Three" in fc
+    assert "please visit our documentation for more info." in fc
+
+
+def test_split_starts_with_text_badge_image_stripped():
+    """Text-before-first-heading first chapters strip images too (the
+    classic badge-paragraph README opening)."""
+    html = (
+        "<p>This is an helper package for something.</p>"
+        '<p><img src="badge.png" alt="badge"></p>'
+        "<h3>Features</h3><p>Feature list here.</p>"
+        "<h3>Installation</h3><p>Install instructions.</p>"
+    )
+    got = split_description_py(html)
+    assert "<img" not in got["first_chapter"]
+    assert "badge.png" not in got["first_chapter"]
+    assert "helper package" in got["first_chapter"]
+    assert got["title"] == "Features"  # first heading names the doc
+    assert got["main_content"].startswith("<h3>Features</h3>")
+
+
+def test_split_rst_section_first_chapter_links_stripped():
+    html = (
+        '<section id="pkg"><h3>Package</h3>'
+        '<p>See <a href="x">docs</a> for usage.</p>'
+        '<section id="install"><h4>Install</h4><p>pip.</p></section></section>'
+    )
+    got = split_description_py(html)
+    assert "<a" not in got["first_chapter"]
+    assert "See docs for usage." in got["first_chapter"]
+
+
+def test_strip_images_contract():
+    assert strip_images("") == ""
+    assert strip_images(None) == ""  # ours: column-safe '' (ref: None)
+    got = strip_images('<p><img src="a.png"> and <img src="b.png"></p>')
+    assert "<img" not in got and "and" in got
+    got = strip_images(
+        '<img src="test.jpg" alt="Test" width="100" height="50" class="badge">'
+    )
+    assert got == ""
+    got = strip_images('<p><strong>Bold</strong> and <img src="x.png"></p>')
+    assert "<strong>Bold</strong>" in got and "<img" not in got
+
+
+def test_strip_links_contract():
+    assert strip_links("") == ""
+    assert strip_links(None) == ""  # ours: column-safe '' (ref: None)
+    assert strip_links('<a href="https://example.com">Click here</a>') == "Click here"
+    got = strip_links('<p><a href="a">First</a> and <a href="b">Second</a></p>')
+    assert "First and Second" in got and "<a" not in got
+    # nested markup inside the anchor survives, only the <a> shell drops
+    got = strip_links('<a href="x"><strong>Bold link</strong></a>')
+    assert got == "<strong>Bold link</strong>"
+    got = strip_links('<p><strong>Bold</strong> and <a href="x">link</a></p>')
+    assert "<strong>Bold</strong>" in got and "link" in got and "<a" not in got
+
+
+# ------------------------------------------------------- demotion goldens
+
+
+def test_demote_multiple_h1_all_become_h2():
+    got = normalize_headings_py("<h1>One</h1><h1>Two</h1><h1>Three</h1>")
+    assert got == "<h2>One</h2><h2>Two</h2><h2>Three</h2>"
+
+
+def test_demote_preserves_attributes():
+    got = normalize_headings_py(
+        '<h1 id="main-title" class="title">Title</h1><h1 id="section">S</h1>'
+    )
+    assert 'id="main-title"' in got and 'class="title"' in got
+    assert 'id="section"' in got
+    assert "<h1" not in got and got.count("<h2") == 2
+
+
+def test_demote_preserves_non_heading_elements():
+    html = (
+        "<h1>Title</h1><p>Paragraph</p><ul><li>Item</li></ul>"
+        "<h1>Section</h1><div>Content</div>"
+    )
+    got = normalize_headings_py(html)
+    assert "<p>Paragraph</p>" in got
+    assert "<li>Item</li>" in got
+    assert "<div>Content</div>" in got
+    assert "<h1" not in got
+
+
+def test_demote_nested_structure_all_levels():
+    html = (
+        "<h1>Main Title</h1><h2>Subtitle</h2><h1>Second Section</h1>"
+        "<h2>Second Subtitle</h2><h3>Nested Item</h3>"
+    )
+    got = normalize_headings_py(html)
+    assert "<h2>Main Title</h2>" in got
+    assert "<h3>Subtitle</h3>" in got
+    assert "<h2>Second Section</h2>" in got
+    assert "<h3>Second Subtitle</h3>" in got
+    assert "<h4>Nested Item</h4>" in got
+
+
+def test_demote_heading_entities_preserved():
+    got = normalize_headings_py("<h1>Special Characters: &amp; &lt; &gt;</h1>")
+    assert got == "<h2>Special Characters: &amp; &lt; &gt;</h2>"
+
+
+def test_demote_no_headings_unchanged():
+    html = "<p>Just a paragraph</p><div>And a div</div>"
+    assert normalize_headings_py(html) == html
+    assert normalize_headings_py("") == ""
+    assert normalize_headings_py(None) is None
+
+
+def test_demote_whitespace_html():
+    got = normalize_headings_py("\n<h1>Title</h1>\n<p>Content</p>\n<h1>S</h1>\n")
+    assert "<h2>Title</h2>" in got and "<h2>S</h2>" in got
+    assert "<h1" not in got
+
+
+def test_rst_full_conversion_multiple_titles():
+    """Multi-title RST through the full render: docutils sectioning +
+    demotion — no h1 survives, list/paragraph content preserved."""
+    rst = (
+        "Project Name\n============\n\nThis is the project description.\n\n"
+        "Features\n========\n\n* Feature 1\n* Feature 2\n\n"
+        "Installation\n============\n\nRun pip install.\n"
+    )
+    html = render_description_py(rst, "text/x-rst")
+    assert "<h1" not in html
+    assert html.count("<h2") + html.count("<h3") >= 2
+    assert "Feature 1" in html and "Feature 2" in html
+    assert "Run pip install." in html
+    got = split_description_py(html)
+    assert got["title"] == "Project Name"
+    assert "project description" in got["first_chapter"]
+    assert "Feature 1" in got["main_content"]

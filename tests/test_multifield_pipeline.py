@@ -186,6 +186,56 @@ def test_upsert_multifield_equals_rebuild(spark, tmp_path):
     assert a_ts == b_ts
 
 
+def test_multifield_delete_docs(spark, tmp_path):
+    """K3 deletes on the multifield artifact: delete_docs' scoped
+    tombstones are field-agnostic (a doc dies in every field), and the
+    multifield kernel filters them pre-heap — equal to a rebuild
+    without the deleted docs."""
+    from pyf_aggregator_spark.index.incremental import delete_docs
+    from pyf_aggregator_spark.index.segments import build_multifield_segments
+    from pyf_aggregator_spark.search.wand import (
+        load_multifield_index,
+        wand_topk_multifield,
+    )
+
+    fields = ["name", "body"]
+    weights = {"name": 10.0, "body": 1.0}
+    rows = [
+        (i, f"pkg{i} quantum" if i % 4 == 0 else f"pkg{i}",
+         f"body w{i % 5} quantum filler")
+        for i in range(30)
+    ]
+    schema = "doc_id long, name string, body string"
+    d = str(tmp_path / "mfdel")
+    build_multifield_segments(
+        spark.createDataFrame(rows, schema), d, fields, num_partitions=2,
+        lineage="b",
+    )
+    delete_docs(spark, d, [0, 4, 7])
+
+    d2 = str(tmp_path / "mfdelref")
+    build_multifield_segments(
+        spark.createDataFrame(
+            [r for r in rows if r[0] not in (0, 4, 7)], schema
+        ),
+        d2, fields, num_partitions=2, lineage="r",
+    )
+    idx, ref = load_multifield_index(spark, d), load_multifield_index(spark, d2)
+    got = [
+        r["doc_id"]
+        for r in wand_topk_multifield(idx, weights, "quantum", k=30).collect()
+    ]
+    want = [
+        r["doc_id"]
+        for r in wand_topk_multifield(ref, weights, "quantum", k=30).collect()
+    ]
+    # stats drift is expected (Lucene delete model: df/idf keep deleted
+    # docs until compaction) so compare the HIT SETS, and assert the
+    # deleted ids are gone while every surviving match remains
+    assert set(got) == set(want)
+    assert not {0, 4, 7} & set(got)
+
+
 def test_grouped_search_wand_matches_df_engine(spark, sf_dir):
     """Grouped search on the segment engine ≡ the DataFrame-engine twin
     (same candidates, same per-group windows)."""

@@ -71,17 +71,19 @@ def test_phrase_regex_escapes_special_tokens():
     assert "c\\+\\+" in pat
 
 
+PREFIX_ROWS = (
+    [(0, "plone api tools"), (1, "plonetheme stack"), (2, "plon legacy"),
+     (3, "plone api extras"), (4, "unrelated words")]
+    + [(10 + i, "plone api tools") for i in range(5)]
+)
+
+
 @pytest.fixture(scope="module")
 def prefix_idx(spark, sf_dir, tmp_path_factory):
     from pyf_aggregator_spark.index.segments import build_segments
     from pyf_aggregator_spark.search.wand import load_index
 
-    docs = spark.createDataFrame(
-        [(0, "plone api tools"), (1, "plonetheme stack"), (2, "plon legacy"),
-         (3, "plone api extras"), (4, "unrelated words")]
-        + [(10 + i, "plone api tools") for i in range(5)],
-        "doc_id long, text string",
-    )
+    docs = spark.createDataFrame(PREFIX_ROWS, "doc_id long, text string")
     d = str(tmp_path_factory.mktemp("pfx"))
     build_segments(docs, d, num_partitions=1, lineage="p")
     return spark, load_index(spark, d)
@@ -96,18 +98,58 @@ def test_expand_prefix_df_order(prefix_idx):
     assert expand_prefix(idx["term_stats"], "zzz") == []
 
 
-def test_prefix_search_equals_expanded_or_query(prefix_idx):
-    from pyf_aggregator_spark.search.wand import wand_topk
+def _bm25_contrib(ref, term: str, d: int) -> float:
+    from pyf_aggregator_spark import B, K1
+
+    tf = ref.postings.get(term, {}).get(d)
+    if not tf:
+        return 0.0
+    return ref.idf(term) * tf * (K1 + 1.0) / (
+        tf + K1 * (1.0 - B + B * ref.doc_len[d] / ref.avgdl)
+    )
+
+
+def test_prefix_search_scores_best_completion(prefix_idx):
+    """Typesense-reconciled (r4): the prefix slot scores each doc's
+    BEST completion (max over the expansion set), not the sum — a doc
+    matching several completions no longer outranks a doc with one
+    strong completion. Expected values from the NumPy reference engine
+    with explicit slot-max math."""
+    from pyf_aggregator_spark.oracle.bm25 import NumpyBM25
+    from pyf_aggregator_spark.search.wand import _rnd
 
     spark, idx = prefix_idx
-    got = wand_topk_prefix(idx, "api plon", k=10).collect()
-    manual = wand_topk(
-        idx, "api plon plone plonetheme", k=10, mode="or"
-    ).collect()
-    assert [(r["doc_id"], r["score"]) for r in got] == [
-        (r["doc_id"], r["score"]) for r in manual
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk_prefix(idx, "api plon", k=10).collect()
     ]
+    ref = NumpyBM25.fit(PREFIX_ROWS)
+    exps = ["plon", "plone", "plonetheme"]  # the expansion slot
+    expected = []
+    for d in ref.doc_ids:
+        api = _bm25_contrib(ref, "api", d)
+        best = max(_bm25_contrib(ref, e, d) for e in exps)
+        if api > 0.0 or best > 0.0:
+            expected.append((d, float(_rnd(api + best))))
+    expected.sort(key=lambda x: (-x[1], x[0]))
+    assert got == expected[:10]
     assert len(got) > 0
+    # doc 1 (plonetheme only) must score its completion, and doc 2
+    # (exact 'plon', rare → high idf) must not be buried by summing
+    ids = [d for d, _ in got]
+    assert 1 in ids and 2 in ids
+
+
+def test_prefix_and_mode_counts_slot_once(prefix_idx):
+    """and-mode with a prefix: the expansion slot is ONE query token —
+    a doc matching 'api' plus ANY completion qualifies."""
+    _, idx = prefix_idx
+    got = [
+        r["doc_id"]
+        for r in wand_topk_prefix(idx, "api plon", k=10, mode="and").collect()
+    ]
+    # docs with api AND some plon* completion: 0, 3, 10..14
+    assert set(got) == {0, 3, 10, 11, 12, 13, 14}
 
 
 def test_prefix_no_completion_no_hits(prefix_idx):

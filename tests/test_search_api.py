@@ -228,9 +228,43 @@ def test_search_query_by_weights_matches_graded_engine(spark, sf_dir):
     with pytest.raises(ValueError, match="unknown query_by"):
         search(spark, sf_dir,
                {"q": "spark", "query_by": "nope"})
-    with pytest.raises(ValueError, match="not supported"):
-        search(spark, sf_dir,
-               {"q": "spark", "query_by": "name,title", "group_by": "lang"})
+
+
+def test_search_query_by_grouped_faceted_sorted(spark, sf_dir):
+    """group_by / facet_by / sort_by all compose with query_by (the
+    multifield kernel feeds the same grouped/facet/sort shapes)."""
+    import pyf_aggregator_spark.operators.fulltext_extra as fx
+
+    qb = {"q": fx._5F_QUERY,
+          "query_by": "name,title,first_chapter,main_content,changelog",
+          "query_by_weights": "10,10,5,3,1", "num_typos": 0}
+    g = search(spark, sf_dir, dict(qb, group_by="lang", group_limit=2))
+    assert g["grouped_hits"] and all(
+        r["rank_in_group"] <= 2 for r in g["grouped_hits"]
+    )
+    assert len({r["lang"] for r in g["grouped_hits"]}) > 1
+    f = search(spark, sf_dir, dict(qb, facet_by="lang", per_page=5))
+    fc = {c["value"]: c["count"] for c in f["facet_counts"][0]["counts"]}
+    assert sum(fc.values()) == f["found"] > 0
+    s = search(spark, sf_dir, dict(qb, sort_by="n_chars:desc", per_page=5))
+    chars = [h["document"]["n_chars"] for h in s["hits"]]
+    assert chars == sorted(chars, reverse=True) and len(chars) == 5
+    assert s["found"] == f["found"]  # same match set, different order
+
+
+def test_search_ranked_sort_by_overrides_rank(spark, sf_dir):
+    """Typesense's sort_by on a ranked query: page ordered by the sort
+    field over the exact match set (not a re-sort of the top-k page)."""
+    res = search(
+        spark, sf_dir,
+        {"q": "spark vector", "sort_by": "n_chars:desc", "per_page": 5,
+         "num_typos": 0},
+    )
+    chars = [h["document"]["n_chars"] for h in res["hits"]]
+    assert chars == sorted(chars, reverse=True) and len(chars) == 5
+    ranked = search(spark, sf_dir, {"q": "spark vector", "per_page": 5,
+                                    "num_typos": 0})
+    assert res["found"] == ranked["found"]  # same match set
 
 
 def test_search_typo_highlight_and_grouped(spark, sf_dir):
