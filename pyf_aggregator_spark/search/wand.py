@@ -503,15 +503,15 @@ def load_index(spark: SparkSession, index_dir: str) -> dict:
     """Handles + scalars for a segment index directory. Rolls back any
     upsert interrupted mid-commit before reading (crash recovery).
 
-    SINGLE-WRITER assumption (ADVICE r3): reconciliation mutates the
-    index (deletes live files, restores __bak dirs) whenever a pending
-    marker exists, which is only safe when no OTHER process is inside
-    _commit_staged concurrently — a reader opening the index during a
-    live commit window would roll the writer back underneath it. The
-    reference has the same model (one ingest queue owns the collection,
-    queue.py; readers go through the serving alias). Multi-writer
-    deployments must serialize index mutation externally (e.g. a lock
-    service or a single maintenance driver)."""
+    Reader-vs-writer safety (ADVICE r3): the commit window and
+    reconciliation share a sibling flock (incremental._commit_lock) —
+    a reader opening the index during another process's in-flight
+    commit backs off instead of rolling the live writer back, and the
+    OS drops a crashed writer's lock so its torn commit still
+    reconciles on the next open. MUTATIONS remain single-writer by
+    contract (the reference has the same model: one ingest queue owns
+    the collection, queue.py; readers go through the serving alias);
+    multi-writer deployments must serialize index mutation externally."""
     from pyf_aggregator_spark.index.incremental import _reconcile_pending
 
     _reconcile_pending(index_dir)

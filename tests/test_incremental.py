@@ -382,6 +382,79 @@ def test_upsert_crash_rollback_and_retry(spark, tmp_path, monkeypatch):
     docs.unpersist()
 
 
+def test_reconcile_skips_while_writer_holds_commit_lock(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r3: a reader opening the index during another process's
+    in-flight _commit_staged must NOT roll the writer's commit back.
+    The commit window holds a sibling flock; _reconcile_pending
+    acquires it non-blocking and backs off while it's held (flock
+    conflicts across fds even within one process, so the test can play
+    the live writer itself). Once released — writer finished or died —
+    reconcile rolls the torn state back as before."""
+    import fcntl
+    import os as _os
+
+    from pyf_aggregator_spark.index.incremental import (
+        _reconcile_pending,
+        upsert_docs,
+    )
+
+    docs = (
+        assign_doc_ids(transcripts_df(spark, 300), num_partitions=1)
+        .select("doc_id", "text")
+        .persist()
+    )
+    docs.count()
+    d = str(tmp_path / "lockidx")
+    build_segments(docs, d, num_partitions=1, lineage="b")
+    q = "w00000 w00001"
+    before = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(load_index(spark, d), q, k=10).collect()
+    ]
+    upd = spark.createDataFrame(
+        [(1, "w00000 locked newness")], "doc_id long, text string"
+    )
+
+    # crash mid-commit → torn marker on disk
+    real_rename = _os.rename
+    live_prefix = d + _os.sep
+    calls = {"n": 0}
+
+    def rn(src, dst, _real=real_rename):
+        if str(dst).startswith(live_prefix):
+            if calls["n"] >= 1:
+                raise RuntimeError("simulated crash")
+            calls["n"] += 1
+        return _real(src, dst)
+
+    monkeypatch.setattr(_os, "rename", rn)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        upsert_docs(spark, d, upd)
+    monkeypatch.setattr(_os, "rename", real_rename)
+    assert _os.listdir(_os.path.join(d, "pending"))  # torn state on disk
+
+    # a "live writer" holds the lock → reconcile backs off, untouched
+    fd = _os.open(d + ".lock", _os.O_CREAT | _os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        assert _reconcile_pending(d) == 0
+        assert _os.listdir(_os.path.join(d, "pending"))
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        _os.close(fd)
+
+    # lock released → the torn commit rolls back to the pre-upsert state
+    assert _reconcile_pending(d) == 1
+    after = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(load_index(spark, d), q, k=10).collect()
+    ]
+    assert after == before
+    docs.unpersist()
+
+
 def test_tombstone_tiebreak_upsert_beats_delete(spark, tmp_path):
     """Equal scope_part: UPSERT wins deterministically. Equal scopes
     only arise when the delete came first (an upsert's own append bumps

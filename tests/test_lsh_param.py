@@ -44,9 +44,10 @@ def test_hot_bucket_cap_bounds_fanout(spark):
 def test_simhash_hot_bucket_cap_bounds_candidates(spark):
     """Adversarial boilerplate corpus: 300 identical docs collapse into
     one bucket per band → uncapped candidate space is ~4·300²/2. With
-    the cap, those buckets are excluded (bounded candidate count) while
-    pairs sharing a NON-hot band are still found, and precision is
-    untouched (Hamming verify)."""
+    the cap, those buckets fall back to signature-equality STAR pairs
+    (299, linear — identical docs are never missed) while pairs sharing
+    a NON-hot band are still found, and precision is untouched (Hamming
+    verify)."""
     from pyf_aggregator_spark.operators.dedup import (
         _simhash_candidates,
         simhash_pairs,
@@ -71,6 +72,13 @@ def test_simhash_hot_bucket_cap_bounds_candidates(spark):
     pairs = simhash_pairs(docs, hot_bucket_cap=50).collect()
     got = {(r["doc1"], r["doc2"]) for r in pairs}
     assert (2000, 2001) in got  # recall survives outside hot buckets
+    # exact-dup star fallback: every boilerplate doc pairs with the
+    # group min (doc 0) at hamming 0 — identical docs are never missed
+    star = {(d1, d2) for d1, d2 in got if d1 == 0}
+    assert star == {(0, i) for i in range(1, 300)}
+    assert all(
+        r["hamming"] == 0 for r in pairs if r["doc1"] == 0
+    )
     sig.unpersist()
 
 
