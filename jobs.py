@@ -105,6 +105,7 @@ def main() -> None:
     se.add_argument("--num-typos", type=int, default=2)  # Typesense default
     se.add_argument("--prefix", action="store_true")
     se.add_argument("--highlight", action="store_true")
+    se.add_argument("--include-fields", default=None)
 
     args = ap.parse_args()
 
@@ -263,6 +264,7 @@ def main() -> None:
             "num_typos": args.num_typos,
             "prefix": args.prefix,
             "highlight": args.highlight,
+            "include_fields": args.include_fields,
         }
         out = {
             "cmd": "search",

@@ -205,6 +205,42 @@ def split_description_py(html: str, summary: str = "") -> dict:
     return result
 
 
+def process(identifier: str, data: dict) -> dict:
+    """The reference's per-document plugin entry point
+    (description_splitter.py:256-292 contract): split
+    ``data['description']`` and add the four weighted-search fields to
+    ``data`` in place. Empty-section WARNINGS fire only when a
+    description was provided, are judged BEFORE the summary prepend
+    (a summary-only first_chapter still warns), and carry the package
+    identifier so operators can find the offending doc. Driver-side
+    single-doc path — the distributed path is split_description_udf."""
+    import logging
+
+    logger = logging.getLogger("pyf_aggregator_spark.plugins")
+    description = data.get("description")
+    sections = split_description_py(description or "")
+    if description and description.strip():
+        if not sections["first_chapter"]:
+            logger.warning(
+                "Package '%s': first_chapter is empty after splitting",
+                identifier,
+            )
+        if not sections["main_content"]:
+            logger.warning(
+                "Package '%s': main_content is empty after splitting",
+                identifier,
+            )
+    summary = data.get("summary", "")
+    if summary:
+        sections["first_chapter"] = (
+            f"{summary}\n\n{sections['first_chapter']}"
+            if sections["first_chapter"]
+            else summary
+        )
+    data.update(sections)
+    return data
+
+
 @pandas_udf(SPLIT_SCHEMA)
 def split_description_udf(html: pd.Series, summary: pd.Series) -> pd.DataFrame:
     recs = [

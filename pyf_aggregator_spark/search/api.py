@@ -26,6 +26,10 @@ applies silently) and returns a Typesense-shaped response dict:
                          Typesense defaults true)
     drop_tokens_threshold retry with dropped tokens when hits < N
     highlight            attach <mark> highlights + snippets
+    include_fields       comma list — project returned documents to
+                         these fields (db.py:270,329,390); the
+                         projection prunes the hydration scan, not the
+                         response dict
 
 Response: {"found", "page", "hits": [{"document", "text_match"}],
 "facet_counts": [{"field_name", "counts": [{"value", "count"}]}],
@@ -144,6 +148,33 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     clauses = parse_filter_by(params.get("filter_by"))
     docs = load(spark, sf_dir, "documents")
     filtered_docs = _apply_filters(docs, clauses)
+    # include_fields (db.py:270,329,390 — the reference's paged walks
+    # project to 1-2 fields): parsed up front so every return path
+    # prunes columns BEFORE hydration/collect — the projection reaches
+    # the parquet scan (ReadSchema), it is not post-hoc dict filtering.
+    include = [
+        f.strip()
+        for f in str(params.get("include_fields") or "").split(",")
+        if f.strip()
+    ]
+    if include:
+        unknown = sorted(set(include) - set(docs.columns))
+        if unknown:
+            raise ValueError(f"unknown include_fields: {unknown}")
+
+    def _doc_cols(base: DataFrame) -> DataFrame:
+        # doc_id always rides along internally (join/sort key); it is
+        # dropped from the returned document unless requested
+        if not include:
+            return base
+        keep = ["doc_id"] + [c for c in include if c != "doc_id"]
+        return base.select(*dict.fromkeys(keep))
+
+    def _doc_dict(row_dict: dict) -> dict:
+        if include and "doc_id" not in include:
+            row_dict = dict(row_dict)
+            row_dict.pop("doc_id", None)
+        return row_dict
 
     # ---------------- match-all: filter + sort + page, no scoring
     if q == "*" or not tokenize_py(q):
@@ -158,11 +189,16 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         else:
             out = out.orderBy(F.asc("doc_id"))
         found = out.count()
-        rows = out.limit(page * per_page).collect()[(page - 1) * per_page :]
+        rows = (
+            _doc_cols(out).limit(page * per_page).collect()
+        )[(page - 1) * per_page :]
         return {
             "found": found,
             "page": page,
-            "hits": [{"document": r.asDict(), "text_match": None} for r in rows],
+            "hits": [
+                {"document": _doc_dict(r.asDict()), "text_match": None}
+                for r in rows
+            ],
             "facet_counts": _facets(
                 params.get("facet_by"), filtered_docs.select("*")
             ),
@@ -248,11 +284,16 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         )
         out = docs.join(match, "doc_id").orderBy(order, F.asc("doc_id"))
         found = out.count()
-        rows = out.limit(page * per_page).collect()[(page - 1) * per_page :]
+        rows = (
+            _doc_cols(out).limit(page * per_page).collect()
+        )[(page - 1) * per_page :]
         return {
             "found": found,
             "page": page,
-            "hits": [{"document": r.asDict(), "text_match": None} for r in rows],
+            "hits": [
+                {"document": _doc_dict(r.asDict()), "text_match": None}
+                for r in rows
+            ],
             "facet_counts": _facets(
                 params.get("facet_by"), docs.join(match, "doc_id")
             ),
@@ -333,7 +374,12 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     hit_ids = spark.createDataFrame(
         [(r["doc_id"], r["score"]) for r in rows], "doc_id long, score double"
     ) if rows else spark.createDataFrame([], "doc_id long, score double")
-    hydrate = F.broadcast(hit_ids).join(docs, "doc_id")
+    hydrate_base = _doc_cols(docs)
+    if params.get("highlight") and "text" not in hydrate_base.columns:
+        hydrate_base = hydrate_base.join(
+            docs.select("doc_id", "text"), "doc_id"
+        )
+    hydrate = F.broadcast(hit_ids).join(hydrate_base, "doc_id")
     if params.get("highlight"):
         from pyf_aggregator_spark.search.highlight import (
             highlight_col,
@@ -343,10 +389,12 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         hydrate = hydrate.withColumn(
             "highlight", highlight_col(F.col("text"), terms)
         ).withColumn("snippet", snippet_col(F.col("text"), terms))
+        if include and "text" not in include:
+            hydrate = hydrate.drop("text")
     hydrated = {r["doc_id"]: r.asDict() for r in hydrate.collect()}
     hits = []
     for r in rows:
-        d = dict(hydrated.get(r["doc_id"], {"doc_id": r["doc_id"]}))
+        d = _doc_dict(dict(hydrated.get(r["doc_id"], {"doc_id": r["doc_id"]})))
         d.pop("score", None)
         hits.append({"document": d, "text_match": r["score"]})
     facet_counts = []

@@ -91,3 +91,55 @@ def stream_append_to_index(
     )
     q.awaitTermination()
     return applied
+
+
+def stream_upsert_multifield(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    ckpt_dir: str,
+    field_names: list[str],
+    schema: str | None = None,
+) -> list[int]:
+    """Live maintenance for the 5-field artifact: a checkpointed stream
+    of whole-document updates (doc_id + every query_by field — a
+    document version is atomic, like the reference's point upsert of a
+    full Typesense document) drives ``upsert_multifield`` per
+    micro-batch. Same exactly-once layers as stream_append_to_index:
+    reconcile-first (torn commits roll back BEFORE the replay guard
+    reads meta), lineage ``stream-mf-<batch_id>`` committed atomically
+    with the batch's meta rows, replayed batches with live lineage
+    skipped. Multi-doc batches are ONE upsert commit — a replay is
+    all-or-nothing, never half a batch."""
+    from pyf_aggregator_spark.index.incremental import upsert_multifield
+
+    schema = schema or (
+        "doc_id long, " + ", ".join(f"{f} string" for f in field_names)
+    )
+    applied: list[int] = []
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        lineage = f"stream-mf-{batch_id}"
+        _reconcile_pending(index_dir)
+        meta = spark.read.parquet(f"{index_dir}/meta")
+        if meta.filter(F.col("lineage") == lineage).count() > 0:
+            return  # completed by a previous attempt — exactly-once skip
+        if batch.isEmpty():
+            return
+        upsert_multifield(
+            spark, index_dir, batch.select("doc_id", *field_names),
+            field_names, lineage=lineage,
+        )
+        applied.append(int(batch_id))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return applied

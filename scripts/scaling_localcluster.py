@@ -45,10 +45,30 @@ master = {master!r}
 # to the worker allowance minus overhead.
 spark = get_spark(
     app_name="scale-lc", master=master,
-    extra_conf={{"spark.executor.memory": {exec_mem!r}}},
+    extra_conf={{
+        "spark.executor.memory": {exec_mem!r},
+        # UI on so the child can pull per-stage executor metrics from
+        # the REST API: cpuTime vs runTime vs fetch-wait decomposes
+        # "didn't scale" into plan-vs-host before the JVM dies
+        "spark.ui.enabled": "true",
+        "spark.ui.port": "0",
+    }},
 )
 phases = {{}}
 
+
+def _procstat():
+    # machine-wide CPU ticks: (busy, idle, iowait, steal). The host is
+    # otherwise idle during a run, so the delta across a phase is the
+    # run's own footprint INCLUDING python workers (executorCpuTime
+    # can't see them: applyInPandas burns CPU in python children while
+    # the JVM task thread "waits")
+    with open("/proc/stat") as f:
+        p = [int(x) for x in f.readline().split()[1:]]
+    return (p[0] + p[1] + p[2] + p[5] + p[6] + p[7], p[3], p[4], p[7])
+
+
+cpu0 = _procstat()
 t0 = time.monotonic()
 docs = assign_doc_ids(spark.read.parquet(corpus_path))
 docs = docs.persist(); n = docs.count()
@@ -60,11 +80,47 @@ t0 = time.monotonic()
 build_segments(docs, out, lineage="scale")
 phases["build_segments"] = time.monotonic() - t0
 total = sum(phases.values())
+cpu1 = _procstat()
+hz = os.sysconf("SC_CLK_TCK")
+machine_cpu = {{
+    "busy_s": (cpu1[0] - cpu0[0]) / hz,
+    "idle_s": (cpu1[1] - cpu0[1]) / hz,
+    "iowait_s": (cpu1[2] - cpu0[2]) / hz,
+    "steal_s": (cpu1[3] - cpu0[3]) / hz,
+    "avg_busy_cores": (cpu1[0] - cpu0[0]) / hz / total,
+}}
 shutil.rmtree(out, ignore_errors=True)
+
+stage_totals = {{}}
+try:
+    import urllib.request
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{{base}}/api/v1/applications/{{app_id}}/stages?status=complete"
+    ) as r:
+        stages = json.loads(r.read())
+    keys = {{
+        "executorRunTime": "run_ms", "executorCpuTime": "cpu_ns",
+        "jvmGcTime": "gc_ms", "shuffleFetchWaitTime": "fetch_wait_ms",
+        "shuffleWriteTime": "shuffle_write_ns",
+        "shuffleReadBytes": "shuffle_read_b",
+        "shuffleWriteBytes": "shuffle_write_b",
+        "executorDeserializeTime": "deser_ms",
+    }}
+    for st in stages:
+        for src, dst in keys.items():
+            stage_totals[dst] = stage_totals.get(dst, 0) + int(st.get(src, 0))
+    stage_totals["n_stages"] = len(stages)
+except Exception as e:  # metrics are best-effort diagnostics
+    stage_totals = {{"error": str(e)}}
+
 print(json.dumps({{
     "master": master, "turns": int(n), "phases": phases,
     "total_sec": total, "turns_per_sec": n / total,
     "build_turns_per_sec": n / phases["build_segments"],
+    "stage_totals": stage_totals,
+    "machine_cpu": machine_cpu,
 }}))
 spark.stop()
 """

@@ -721,3 +721,126 @@ def test_rst_full_conversion_multiple_titles():
     assert got["title"] == "Project Name"
     assert "project description" in got["first_chapter"]
     assert "Feature 1" in got["main_content"]
+
+
+# --- process() plugin wrapper (description_splitter.py:256-292 parity) ---
+
+
+def test_process_adds_fields_to_data():
+    """process() mutates the data dict in place with the four fields
+    (reference test_adds_fields_to_data)."""
+    from pyf_aggregator_spark.functions.description_split import process
+
+    data = {"description": "<h2>Pkg</h2><p>Intro</p><h2>More</h2><p>Body</p>"}
+    out = process("pkg", data)
+    assert out is data
+    assert data["title"] == "Pkg"
+    assert "Intro" in data["first_chapter"]
+    assert "Body" in data["main_content"]
+    assert data["changelog"] == ""
+
+
+def test_process_none_description_no_warning(caplog):
+    import logging
+
+    from pyf_aggregator_spark.functions.description_split import process
+
+    with caplog.at_level(logging.WARNING):
+        data = {"description": None}
+        process("test-package", data)
+    assert "first_chapter is empty" not in caplog.text
+    assert "main_content is empty" not in caplog.text
+    assert data["first_chapter"] == "" and data["title"] == ""
+
+
+def test_process_empty_description_no_warning(caplog):
+    """Empty/whitespace description never warns (reference
+    test_warns_on_empty_first_chapter + test_no_warning_on_empty_...)."""
+    import logging
+
+    from pyf_aggregator_spark.functions.description_split import process
+
+    with caplog.at_level(logging.WARNING):
+        process("test-package", {"description": "", "summary": ""})
+        process("test-package", {"description": "   \n  "})
+    assert "is empty" not in caplog.text
+
+
+def test_process_warns_on_empty_main_content(caplog):
+    """Single-section description → main_content empty → warning with
+    the package identifier (reference test_warns_on_empty_main_content
+    + test_warning_includes_package_identifier)."""
+    import logging
+
+    from pyf_aggregator_spark.functions.description_split import process
+
+    with caplog.at_level(logging.WARNING):
+        process(
+            "my-special-package",
+            {"description": "<h2>Title</h2><p>Only intro.</p>"},
+        )
+    assert "main_content is empty" in caplog.text
+    assert "my-special-package" in caplog.text
+    assert "first_chapter is empty" not in caplog.text
+
+
+def test_process_no_warning_when_sections_populated(caplog):
+    import logging
+
+    from pyf_aggregator_spark.functions.description_split import process
+
+    with caplog.at_level(logging.WARNING):
+        process(
+            "ok-pkg",
+            {"description": "<h2>T</h2><p>Intro</p><h2>More</h2><p>C</p>"},
+        )
+    assert "is empty" not in caplog.text
+
+
+def test_process_warning_judged_before_summary_prepend(caplog):
+    """A summary must not mask an empty-after-split section: the
+    reference checks the raw split BEFORE prepending summary."""
+    import logging
+
+    from pyf_aggregator_spark.functions.description_split import process
+
+    with caplog.at_level(logging.WARNING):
+        data = {
+            "description": "<h2>Title</h2><p>Intro only.</p>",
+            "summary": "A fine summary",
+        }
+        process("masked-pkg", data)
+    assert "main_content is empty" in caplog.text
+    assert data["first_chapter"].startswith("A fine summary\n\n")
+
+
+def test_process_summary_only_first_chapter():
+    from pyf_aggregator_spark.functions.description_split import process
+
+    data = {"description": None, "summary": "Just a summary"}
+    process("s-pkg", data)
+    assert data["first_chapter"] == "Just a summary"
+
+
+def test_imio_news_core_example():
+    """The reference's exact real-world RST-section regression case
+    (test_description_splitter.py:820-847)."""
+    html = """
+    <section id="imio-news-core">
+        <h3>imio.news.core</h3>
+        <p>Core product for iMio news websites</p>
+        <section id="features">
+            <h4>Features</h4>
+            <ul>
+                <li>Can be used...</li>
+            </ul>
+        </section>
+    </section>
+    """
+    got = split_description_py(html)
+    assert got["title"] == "imio.news.core"
+    assert "<h3>imio.news.core</h3>" in got["first_chapter"]
+    assert "Core product for iMio news websites" in got["first_chapter"]
+    assert "<section" not in got["first_chapter"]
+    assert "Features" in got["main_content"]
+    assert "<section" not in got["main_content"]

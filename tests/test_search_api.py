@@ -281,3 +281,43 @@ def test_search_typo_highlight_and_grouped(spark, sf_dir):
     assert g["grouped_hits"] and all(
         r["rank_in_group"] <= 2 for r in g["grouped_hits"]
     )
+
+
+def test_search_include_fields_projection(spark, sf_dir):
+    """include_fields (db.py:270,329,390 — the reference's paged walks
+    project to 1-2 fields): returned documents carry ONLY the requested
+    fields, on ranked, match-all and sort_by paths alike."""
+    r = search(spark, sf_dir,
+               {"q": "spark", "include_fields": "lang", "num_typos": 0})
+    assert r["hits"] and all(
+        set(h["document"]) == {"lang"} for h in r["hits"]
+    )
+    # doc_id only when requested
+    r2 = search(spark, sf_dir,
+                {"q": "spark", "include_fields": "doc_id,lang",
+                 "num_typos": 0})
+    assert all(set(h["document"]) == {"doc_id", "lang"} for h in r2["hits"])
+    assert [h["document"]["doc_id"] for h in r2["hits"]] == [
+        h["text_match"] is not None and h["document"]["doc_id"]
+        for h in r2["hits"]
+    ]
+    m = search(spark, sf_dir, {"q": "*", "include_fields": "doc_id"})
+    assert all(set(h["document"]) == {"doc_id"} for h in m["hits"])
+    s = search(spark, sf_dir,
+               {"q": "spark", "sort_by": "n_chars:desc",
+                "include_fields": "n_chars", "num_typos": 0})
+    assert all(set(h["document"]) == {"n_chars"} for h in s["hits"])
+    with pytest.raises(ValueError, match="unknown include_fields"):
+        search(spark, sf_dir, {"q": "spark", "include_fields": "nope"})
+
+
+def test_search_include_fields_with_highlight(spark, sf_dir):
+    """highlight still computes off text even when text is excluded
+    from the projection; the document keeps only include_fields +
+    highlight/snippet."""
+    r = search(spark, sf_dir,
+               {"q": "spark", "include_fields": "lang", "highlight": True,
+                "num_typos": 0})
+    assert r["hits"]
+    for h in r["hits"]:
+        assert set(h["document"]) == {"lang", "highlight", "snippet"}

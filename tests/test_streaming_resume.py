@@ -219,3 +219,77 @@ def test_stream_append_to_index_exactly_once(spark, tmp_path):
         ], q
     for c in chunks:
         c.unpersist()
+
+
+def test_stream_upsert_multifield_exactly_once(spark, tmp_path):
+    """Live maintenance of the 5-field artifact: a checkpointed stream
+    of whole-document updates drives upsert_multifield per micro-batch.
+    Two restarts on one checkpoint apply each batch once; a fresh
+    checkpoint replaying already-committed content is skipped via the
+    stream-mf-<id> lineage; the final artifact answers the weighted
+    query rank-identically to a fresh build over the merged table."""
+    from pyf_aggregator_spark.index.segments import build_multifield_segments
+    from pyf_aggregator_spark.search.wand import (
+        load_multifield_index,
+        wand_topk_multifield,
+    )
+    from pyf_aggregator_spark.streaming.live_index import (
+        stream_upsert_multifield,
+    )
+
+    fields = ["name", "title", "body"]
+    weights = {"name": 10.0, "title": 5.0, "body": 1.0}
+    schema = "doc_id long, name string, title string, body string"
+    base_rows = [
+        (i, f"pkg{i}",
+         f"title w{i % 7} quantum" if i % 3 == 0 else f"title w{i % 7}",
+         f"body words w{i % 5} w{i % 11} filler")
+        for i in range(30)
+    ]
+    base = spark.createDataFrame(base_rows, schema)
+    d = str(tmp_path / "mfstream")
+    build_multifield_segments(base, d, fields, num_partitions=2, lineage="b")
+
+    ups1 = [
+        (3, "pkg3-renamed", "quantum quantum new", "fresh body quantum"),
+        (30, "quantum-core", "brand new", "inserted body w3"),
+    ]
+    ups2 = [
+        (3, "pkg3", "third version title", "body again"),
+        (31, "another-pkg", "quantum again", "w1 w2"),
+    ]
+    src = str(tmp_path / "mfsrc")
+    ckpt = str(tmp_path / "mfckpt")
+    _stage_chunk(spark.createDataFrame(ups1, schema), src, "u0", str(tmp_path))
+    assert stream_upsert_multifield(spark, src, d, ckpt, fields) == [0]
+    _stage_chunk(spark.createDataFrame(ups2, schema), src, "u1", str(tmp_path))
+    assert stream_upsert_multifield(spark, src, d, ckpt, fields) == [1]
+    # nothing new → nothing applied
+    assert stream_upsert_multifield(spark, src, d, ckpt, fields) == []
+    # fresh checkpoint: both files replay as batches 0/1 with lineages
+    # already live in meta → both skipped, no double-application
+    assert (
+        stream_upsert_multifield(
+            spark, src, d, str(tmp_path / "mfckpt2"), fields
+        )
+        == []
+    )
+
+    merged = {r[0]: r for r in base_rows}
+    for r in ups1 + ups2:
+        merged[r[0]] = r
+    ref_df = spark.createDataFrame(sorted(merged.values()), schema)
+    d2 = str(tmp_path / "mfstreamref")
+    build_multifield_segments(ref_df, d2, fields, num_partitions=2, lineage="r")
+    idx = load_multifield_index(spark, d)
+    ref = load_multifield_index(spark, d2)
+    for q in ["quantum", "quantum w3", "pkg3 body", "zzz-none"]:
+        a = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk_multifield(idx, weights, q, k=15).collect()
+        ]
+        b = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk_multifield(ref, weights, q, k=15).collect()
+        ]
+        assert a == b, q
