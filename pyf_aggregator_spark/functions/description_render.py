@@ -214,3 +214,20 @@ def render_description_udf(
             for d, c in zip(description.where(description.notna(), None), ct)
         ]
     )
+
+
+def process(identifier: str, data: dict) -> dict | None:
+    """The reference's rst_to_html plugin entry point
+    (rst_to_html.py:73-82 contract): render ``data['description']`` by
+    its ``description_content_type`` and demote headings, mutating the
+    dict in place. ``None`` description → no mutation at all (the
+    reference returns early); empty string still renders (to empty).
+    Driver-side single-doc path — the distributed path is
+    render_description_udf."""
+    description = data.get("description")
+    if description is None:
+        return data
+    data["description"] = render_description_py(
+        description, data.get("description_content_type")
+    )
+    return data

@@ -844,3 +844,57 @@ def test_imio_news_core_example():
     assert "<section" not in got["first_chapter"]
     assert "Features" in got["main_content"]
     assert "<section" not in got["main_content"]
+
+
+def test_render_process_plugin_contract():
+    """rst_to_html plugin process() parity (rst_to_html.py:73-82 +
+    reference TestProcess): renders by content type, demotes headings,
+    mutates in place; None description untouched; empty renders."""
+    from pyf_aggregator_spark.functions.description_render import (
+        process as render_process,
+    )
+
+    data = {"description": "Title\n=====\n\nBody para.",
+            "description_content_type": None}
+    render_process("pkg", data)
+    assert "<h2" in data["description"] and "<h1" not in data["description"]
+    assert "Body para." in data["description"]
+
+    md = {"description": "# Top\n\ntext", "description_content_type":
+          "text/markdown"}
+    render_process("pkg", md)
+    assert "<h2" in md["description"] and "text" in md["description"]
+
+    untouched = {"description": None}
+    render_process("pkg", untouched)
+    assert untouched == {"description": None}
+
+    empty = {"description": ""}
+    render_process("pkg", empty)
+    assert empty["description"] == ""
+
+
+def test_render_then_split_process_chain():
+    """The reference chains the two plugins (rst_to_html BEFORE
+    description_splitter, §2.10 order matters): the splitter consumes
+    the rendered+demoted HTML the renderer left in data."""
+    from pyf_aggregator_spark.functions.description_render import (
+        process as render_process,
+    )
+    from pyf_aggregator_spark.functions.description_split import process
+
+    data = {
+        "description": (
+            "My Pkg\n======\n\nIntro text.\n\nFeatures\n========\n\n"
+            "* one\n\nChangelog\n=========\n\n1.0 initial\n"
+        ),
+        "description_content_type": None,
+        "summary": "short summary",
+    }
+    render_process("my-pkg", data)
+    process("my-pkg", data)
+    assert data["title"] == "My Pkg"
+    assert data["first_chapter"].startswith("short summary\n\n")
+    assert "Intro text." in data["first_chapter"]
+    assert "one" in data["main_content"]
+    assert "1.0 initial" in data["changelog"]

@@ -204,3 +204,33 @@ def test_wand_batch_filtered_empty_allowed(built):
     got = wand_topk_batch(idx, batch).toPandas()
     assert (got["query_id"] == "e").sum() == 0
     assert (got["query_id"] == "u").sum() == 5
+
+
+def test_docs_per_part_cap_bounds_task_memory(built, tmp_path, monkeypatch):
+    """The r4 scale fix: when the caller doesn't pin geometry, doc
+    ranges are capped at PYFAGG_DOCS_PER_PART so encode-task memory is
+    bounded by DATA geometry, not cluster width (measured 2M-turn
+    collapse pre-fix, BENCH/SCALING_RUN.md). A capped build has more,
+    smaller parts and answers rank-identically."""
+    import os as _os
+
+    spark, docs, index_dir, stats, oracle = built
+    n_docs = docs.count()
+    cap = max(1, n_docs // 7)
+    monkeypatch.setenv("PYFAGG_DOCS_PER_PART", str(cap))
+    d2 = str(tmp_path / "capped")
+    stats2 = build_segments(docs, d2, num_partitions=2, lineage="cap")
+    # cores alone would give 2 parts; the cap forces ceil(n/cap) >= 7
+    assert stats2["n_parts"] >= 7 > stats["n_parts"] in (4,)
+    meta = spark.read.parquet(f"{d2}/meta").toPandas().sort_values("part_id")
+    assert (meta["doc_hi"] - meta["doc_lo"] + 1).max() <= cap
+    # full tiling survives the cap (the pre-r4 latent span bug)
+    assert meta["doc_lo"].iloc[0] == 0 and meta["doc_hi"].iloc[-1] == n_docs - 1
+    idx = load_index(spark, d2)
+    for q in reference_queries()[:3]:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(idx, q["query"], k=q["k"], mode=q["mode"]).collect()
+        ]
+        want = oracle.topk(q["query"], k=q["k"], mode=q["mode"])
+        assert got == [(d, s) for _, d, s in want], q
