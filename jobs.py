@@ -106,6 +106,7 @@ def main() -> None:
     se.add_argument("--prefix", action="store_true")
     se.add_argument("--highlight", action="store_true")
     se.add_argument("--include-fields", default=None)
+    se.add_argument("--exclude-fields", default=None)
 
     args = ap.parse_args()
 
@@ -265,6 +266,7 @@ def main() -> None:
             "prefix": args.prefix,
             "highlight": args.highlight,
             "include_fields": args.include_fields,
+            "exclude_fields": args.exclude_fields,
         }
         out = {
             "cmd": "search",

@@ -164,3 +164,108 @@ def enrichment_values_sql() -> str:
         "enrichment(name, github_stars, github_open_issues, enriched_iso) AS (\n"
         "  SELECT * FROM (VALUES\n    " + values + "\n  ))"
     )
+
+
+# S7 secondary-content fixture (npm_fetcher.py:394-474): the jsDelivr
+# CDN modeled as TABLES — `readme_files` is the per-version published
+# file listing (file_idx = listing order, ftype mirrors the API's
+# type field), `npm_docs` is the registry package document whose
+# latest-version readme is the final fallback. Covers every branch of
+# get_version_readme: exact README.md file, case/extension fallback
+# via the listing (first readme* FILE in listing order), a README.md
+# DIRECTORY that must not satisfy the exact fetch, versions with
+# files but no readme, versions with no files at all, and a package
+# with no fallback readme either.
+README_FILE_ROWS: list[tuple] = [
+    # exact README.md at root → direct-fetch branch
+    ("pkg-a", "1.0.0", 0, "file", "README.md", "# pkg-a v1 readme"),
+    ("pkg-a", "1.0.0", 1, "file", "index.js", "js"),
+    # only a lowercase readme.markdown → listing-resolution branch
+    ("pkg-a", "2.0.0", 0, "file", "index.js", "js"),
+    ("pkg-a", "2.0.0", 1, "file", "readme.markdown", "pkg-a v2 readme"),
+    # README.md is a DIRECTORY (docs folder) + Readme.rst file later in
+    # the listing → exact fetch misses, listing picks Readme.rst
+    ("pkg-b", "1.0.0", 0, "dir", "README.md", None),
+    ("pkg-b", "1.0.0", 1, "file", "main.ts", "ts"),
+    ("pkg-b", "1.0.0", 2, "file", "Readme.rst", "pkg-b v1 rst readme"),
+    # two readme* files → FIRST in listing order wins
+    ("pkg-b", "3.0.0", 3, "file", "README.markdown", "pkg-b v3 md readme"),
+    ("pkg-b", "3.0.0", 5, "file", "readme.txt", "pkg-b v3 txt readme"),
+    # files exist but none readme* → package-document fallback
+    ("pkg-b", "2.0.0", 0, "file", "main.ts", "ts"),
+    # pkg-c 1.0.0: NO file rows at all → package-document fallback
+    # pkg-d 1.0.0: no file rows AND no package readme → none
+]
+
+README_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("version", T.StringType(), False),
+        T.StructField("file_idx", T.IntegerType(), False),
+        T.StructField("ftype", T.StringType(), False),
+        T.StructField("filename", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+NPM_DOC_ROWS: list[tuple] = [
+    ("pkg-a", "2.0.0", "pkg-a latest readme from registry doc"),
+    ("pkg-b", "3.0.0", "pkg-b latest readme from registry doc"),
+    ("pkg-c", "1.0.0", "pkg-c latest readme from registry doc"),
+    ("pkg-d", "1.0.0", None),  # registry doc with no readme at all
+]
+
+NPM_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("latest_version", T.StringType(), False),
+        T.StructField("latest_readme", T.StringType(), True),
+    ]
+)
+
+# the (name, version) pairs the orchestration walks (npm_fetcher.py:
+# 704-786 iterates the package doc's versions)
+NPM_VERSION_ROWS: list[tuple] = [
+    ("pkg-a", "1.0.0"), ("pkg-a", "2.0.0"),
+    ("pkg-b", "1.0.0"), ("pkg-b", "2.0.0"), ("pkg-b", "3.0.0"),
+    ("pkg-c", "1.0.0"),
+    ("pkg-d", "1.0.0"),
+]
+
+
+def readme_files_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(README_FILE_ROWS, README_FILE_SCHEMA)
+
+
+def npm_docs_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(NPM_DOC_ROWS, NPM_DOC_SCHEMA)
+
+
+def npm_versions_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        NPM_VERSION_ROWS, "name string, version string"
+    )
+
+
+def _values_cte(name: str, cols: str, rows: list[tuple]) -> str:
+    values = ",\n    ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in rows
+    )
+    return f"{name}({cols}) AS (\n  SELECT * FROM (VALUES\n    {values}\n  ))"
+
+
+def readme_files_values_sql() -> str:
+    return _values_cte(
+        "readme_files", "name, version, file_idx, ftype, filename, content",
+        README_FILE_ROWS,
+    )
+
+
+def npm_docs_values_sql() -> str:
+    return _values_cte(
+        "npm_docs", "name, latest_version, latest_readme", NPM_DOC_ROWS
+    )
+
+
+def npm_versions_values_sql() -> str:
+    return _values_cte("npm_versions", "name, version", NPM_VERSION_ROWS)

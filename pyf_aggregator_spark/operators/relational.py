@@ -242,3 +242,111 @@ def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return cust.exceptAll(done.distinct()).distinct().orderBy("c_custkey")
+
+
+# ------------------------------------------------------------- S7 attach
+
+
+def _s7_sql() -> str:
+    from pyf_aggregator_spark.fixtures.packages import (
+        npm_docs_values_sql,
+        npm_versions_values_sql,
+        readme_files_values_sql,
+    )
+
+    return f"""
+    WITH {npm_versions_values_sql()},
+    {readme_files_values_sql()},
+    {npm_docs_values_sql()},
+    exact AS (
+      SELECT name, version, content AS exact_content
+      FROM readme_files
+      WHERE filename = 'README.md' AND ftype = 'file'
+    ),
+    listed AS (
+      SELECT name, version, content AS listed_content
+      FROM (
+        SELECT name, version, content,
+               row_number() OVER (
+                 PARTITION BY name, version ORDER BY file_idx
+               ) AS rn
+        FROM readme_files
+        WHERE ftype = 'file'
+          AND lower(filename) LIKE 'readme%'
+          AND filename <> 'README.md'
+      ) WHERE rn = 1
+    )
+    SELECT v.name, v.version,
+           coalesce(e.exact_content, l.listed_content, d.latest_readme)
+             AS readme,
+           CASE WHEN e.exact_content IS NOT NULL THEN 'file'
+                WHEN l.listed_content IS NOT NULL THEN 'listing'
+                WHEN d.latest_readme IS NOT NULL THEN 'package'
+                ELSE 'none' END AS readme_source
+    FROM npm_versions v
+    LEFT JOIN exact e USING (name, version)
+    LEFT JOIN listed l USING (name, version)
+    LEFT JOIN npm_docs d ON v.name = d.name
+    ORDER BY v.name, v.version
+    """
+
+
+@register("s7_readme_attach", _s7_sql())
+def s7_readme_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — secondary-content fetch as a ranked-fallback ATTACH
+    (npm_fetcher.py:394-474 get_version_readme + orchestration
+    :704-786): per (name, version), README resolution is a 3-level
+    cascade — (1) the exact root README.md when it is a real FILE
+    (a directory of that name must not satisfy it), (2) else the FIRST
+    file in listing order whose name starts with 'readme'
+    case-insensitively (the reference's file-listing API walk; its
+    `filename != "README.md"` guard mirrored), (3) else the package
+    document's latest-version readme; 'none' when all three miss.
+
+    Spark shape: three broadcast-joined left lookups against the
+    version table — the per-version network fan-out of the reference
+    becomes two dim-table joins + a window top-1 on the listing, all
+    broadcastable at catalog scale (the readme corpus is the big side
+    at 100 TB and it arrives pre-joined by key, never shuffled twice)."""
+    from pyf_aggregator_spark.fixtures.packages import (
+        npm_docs_df,
+        npm_versions_df,
+        readme_files_df,
+    )
+
+    vers = npm_versions_df(spark)
+    files = readme_files_df(spark)
+    exact = (
+        files.filter(
+            (F.col("filename") == "README.md") & (F.col("ftype") == "file")
+        ).select("name", "version", F.col("content").alias("exact_content"))
+    )
+    w = Window.partitionBy("name", "version").orderBy("file_idx")
+    listed = (
+        files.filter(
+            (F.col("ftype") == "file")
+            & F.lower("filename").startswith("readme")
+            & (F.col("filename") != "README.md")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("name", "version", F.col("content").alias("listed_content"))
+    )
+    docs = npm_docs_df(spark).select("name", "latest_readme")
+    out = (
+        vers.join(F.broadcast(exact), ["name", "version"], "left")
+        .join(F.broadcast(listed), ["name", "version"], "left")
+        .join(F.broadcast(docs), "name", "left")
+    )
+    return out.select(
+        "name",
+        "version",
+        F.coalesce("exact_content", "listed_content", "latest_readme").alias(
+            "readme"
+        ),
+        F.when(F.col("exact_content").isNotNull(), "file")
+        .when(F.col("listed_content").isNotNull(), "listing")
+        .when(F.col("latest_readme").isNotNull(), "package")
+        .otherwise("none")
+        .alias("readme_source"),
+    ).orderBy("name", "version")

@@ -26,9 +26,7 @@ def _tokens(col):
     )
 
 
-@register(
-    "txt_token_quality",
-    f"""
+_TOKENQ_SQL = f"""
     WITH feat AS (
       SELECT doc_id,
         len(list_filter(string_split_regex(lower(text), '[\\s.\\-_@/]+'), t -> t <> '')) AS n_tok,
@@ -46,9 +44,10 @@ def _tokens(col):
       round(least(n_tok / 64.0, 1.0)
             * (1.0 - least(n_punct::DOUBLE / greatest(n_chars, 1), 1.0))
             * (0.5 + 0.5 * least(n_stop::DOUBLE / greatest(n_tok, 1) * 5.0, 1.0)), 4) AS quality
-    FROM feat ORDER BY doc_id
-    """,
-)
+    FROM feat
+    """
+
+
 def txt_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways (engine tokenizer, whitespace split,
     BPE-ish piece regex) + the quality heuristic (length saturation ×
@@ -89,9 +88,7 @@ _LANG_MARKERS = {
 }
 
 
-@register(
-    "txt_lang_fingerprint",
-    """
+_LANGF_SQL = """
     WITH tok AS (
       SELECT doc_id, unnest(list_filter(
         string_split_regex(lower(text), '[\\s.\\-_@/]+'), t -> t <> '')) AS t
@@ -124,9 +121,9 @@ _LANG_MARKERS = {
       ('0x' || substr(md5(lower(trim(d.text))), 1, 8))::BIGINT AS fp64,
       s.shingle_min
     FROM documents d LEFT JOIN votes USING (doc_id) LEFT JOIN sh s USING (doc_id)
-    ORDER BY doc_id
-    """,
-)
+    """
+
+
 def txt_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-token votes, deterministic en > es
     > fr > de tie-break) + document fingerprints (whole-text md5,
@@ -173,5 +170,31 @@ def txt_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fp64"),
         shingle_min.alias("shingle_min"),
     ).orderBy("doc_id")
+
+
+
+@register(
+    "txt_analysis",
+    f"""
+    WITH tq AS ({_TOKENQ_SQL}), lf AS ({_LANGF_SQL})
+    SELECT tq.doc_id, tq.n_tok, tq.n_ws, tq.n_bpe, tq.stopword_ratio,
+           tq.punct_ratio, tq.quality,
+           lf.lang, lf.pred_lang, lf.fp_md5, lf.fp64, lf.shingle_min
+    FROM tq JOIN lf USING (doc_id) ORDER BY tq.doc_id
+    """,
+)
+def txt_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 + lang-id + fingerprints in ONE labeled per-doc row (merged
+    r4 to free a registry-window slot, same precedent as j3/j4 and
+    c8_c11): token counting three ways, the quality heuristic,
+    marker-vote language ID and md5/winnowing fingerprints are all
+    narrow per-doc column algebra over the same documents scan — one
+    projection each, one equi-join, zero wide shuffles."""
+    return (
+        txt_token_quality(spark, sf_dir)
+        .join(txt_lang_fingerprint(spark, sf_dir), "doc_id")
+        .orderBy("doc_id")
+    )
+
 
 

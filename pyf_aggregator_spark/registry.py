@@ -137,8 +137,8 @@ _ORDER = [
     "w2_f4_latest_version_nonexcluded", "c8_c11_normalizers",
     "c12_health_score",
     "f1_classifier_prefix_filter", "j1_preserved_fields_merge",
-    # text analysis (ungraded in round 1)
-    "txt_token_quality", "txt_lang_fingerprint",
+    # text analysis (merged r4: one labeled per-doc row) + S7 attach
+    "txt_analysis", "s7_readme_attach",
     # streaming (ungraded in round 1)
     "st_windowed_agg", "st_dedup_within_watermark", "st_incremental_cutoff",
     # training-pipeline: dedup + ANN + multimodal

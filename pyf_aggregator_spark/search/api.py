@@ -30,6 +30,9 @@ applies silently) and returns a Typesense-shaped response dict:
                          these fields (db.py:270,329,390); the
                          projection prunes the hydration scan, not the
                          response dict
+    exclude_fields       comma list — drop these fields from returned
+                         documents (applies after include_fields,
+                         Typesense semantics; same scan pruning)
 
 Response: {"found", "page", "hits": [{"document", "text_match"}],
 "facet_counts": [{"field_name", "counts": [{"value", "count"}]}],
@@ -157,10 +160,23 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         for f in str(params.get("include_fields") or "").split(",")
         if f.strip()
     ]
+    exclude = [
+        f.strip()
+        for f in str(params.get("exclude_fields") or "").split(",")
+        if f.strip()
+    ]
     if include:
         unknown = sorted(set(include) - set(docs.columns))
         if unknown:
             raise ValueError(f"unknown include_fields: {unknown}")
+    if exclude:
+        unknown = sorted(set(exclude) - set(docs.columns))
+        if unknown:
+            raise ValueError(f"unknown exclude_fields: {unknown}")
+        # Typesense: exclude applies after include
+        include = [
+            c for c in (include or docs.columns) if c not in set(exclude)
+        ] or ["doc_id"]  # excluding every column still returns the key
 
     def _doc_cols(base: DataFrame) -> DataFrame:
         # doc_id always rides along internally (join/sort key); it is

@@ -321,3 +321,20 @@ def test_search_include_fields_with_highlight(spark, sf_dir):
     assert r["hits"]
     for h in r["hits"]:
         assert set(h["document"]) == {"lang", "highlight", "snippet"}
+
+
+def test_search_exclude_fields(spark, sf_dir):
+    """exclude_fields drops fields (after include_fields, Typesense
+    semantics); the projection still prunes the hydration scan."""
+    r = search(spark, sf_dir,
+               {"q": "spark", "exclude_fields": "text", "num_typos": 0})
+    assert r["hits"] and all(
+        "text" not in h["document"] and "doc_id" in h["document"]
+        for h in r["hits"]
+    )
+    both = search(spark, sf_dir,
+                  {"q": "spark", "include_fields": "lang,n_chars",
+                   "exclude_fields": "n_chars", "num_typos": 0})
+    assert all(set(h["document"]) == {"lang"} for h in both["hits"])
+    with pytest.raises(ValueError, match="unknown exclude_fields"):
+        search(spark, sf_dir, {"q": "spark", "exclude_fields": "nope"})

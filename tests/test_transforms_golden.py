@@ -129,3 +129,32 @@ def test_tie_break_is_total(spark):
         .collect()
     )
     assert [r["doc_id"] for r in rows] == [1, 2, 3]
+
+
+def test_s7_readme_attach_branches(spark):
+    """S7 cascade semantics (npm_fetcher.py:394-474): every fixture
+    branch resolves by the right rule — exact README.md FILE beats the
+    listing, a README.md DIRECTORY does not satisfy the exact fetch,
+    the listing picks the FIRST readme* file in listing order, package
+    fallback covers no-readme and no-files versions, and a package
+    with no registry readme yields none."""
+    from pyf_aggregator_spark.operators.relational import s7_readme_attach
+
+    rows = {
+        (r["name"], r["version"]): (r["readme_source"], r["readme"])
+        for r in s7_readme_attach(spark, "unused").collect()
+    }
+    assert rows[("pkg-a", "1.0.0")] == ("file", "# pkg-a v1 readme")
+    assert rows[("pkg-a", "2.0.0")] == ("listing", "pkg-a v2 readme")
+    # README.md dir must NOT satisfy the exact branch
+    assert rows[("pkg-b", "1.0.0")] == ("listing", "pkg-b v1 rst readme")
+    assert rows[("pkg-b", "2.0.0")] == (
+        "package", "pkg-b latest readme from registry doc"
+    )
+    # two readme* files: FIRST in listing order wins
+    assert rows[("pkg-b", "3.0.0")] == ("listing", "pkg-b v3 md readme")
+    # no files at all → package doc readme
+    assert rows[("pkg-c", "1.0.0")] == (
+        "package", "pkg-c latest readme from registry doc"
+    )
+    assert rows[("pkg-d", "1.0.0")] == ("none", None)
