@@ -14,10 +14,12 @@ applies silently) and returns a Typesense-shaped response dict:
                          one WAND pass (wand_topk_multifield)
     filter_by            "field:=value" / "field:=[v1,v2]", joined by &&
     facet_by             comma list of facet fields
-    sort_by              "field:desc|asc" — on match-all AND ranked
-                         queries (ranked: the match set is ordered by
-                         the sort field via the no-scoring match-ids
-                         kernel, Typesense's sort_by override)
+    sort_by              "f1:desc,f2:asc" (≤3 keys, Typesense's cap) —
+                         on match-all AND ranked queries (ranked: the
+                         match set is ordered by the sort fields via
+                         the no-scoring match-ids kernel, Typesense's
+                         sort_by override); doc_id is the final
+                         tie-break
     page / per_page      1-based pagination (defaults 1 / 10)
     group_by/group_limit grouped results
     num_typos            typo budget (default 2, Typesense's default;
@@ -115,6 +117,25 @@ def parse_filter_by(filter_by: str | None):
     return out
 
 
+def _sort_cols(sort_by: str, docs: DataFrame) -> list:
+    """'f1:desc,f2:asc' → orderBy columns (≤3 keys, Typesense's cap),
+    doc_id appended as the deterministic final tie-break."""
+    cols = []
+    keys = [s.strip() for s in sort_by.split(",") if s.strip()]
+    if len(keys) > 3:
+        raise ValueError("sort_by supports at most 3 keys")
+    for key in keys:
+        field, _, direction = key.partition(":")
+        field = field.strip()
+        if field not in docs.columns:
+            raise ValueError(f"unknown sort_by field: {field}")
+        cols.append(
+            F.desc(field) if direction.strip() == "desc" else F.asc(field)
+        )
+    cols.append(F.asc("doc_id"))
+    return cols
+
+
 def _apply_filters(docs: DataFrame, clauses) -> DataFrame:
     for field, vals, neg in clauses:
         col = F.col(field).cast("string")
@@ -197,11 +218,7 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         out = filtered_docs
         sort_by = params.get("sort_by")
         if sort_by:
-            field, _, direction = sort_by.partition(":")
-            order = (
-                F.desc(field) if direction.strip() == "desc" else F.asc(field)
-            )
-            out = out.orderBy(order, F.asc("doc_id"))
+            out = out.orderBy(*_sort_cols(sort_by, docs))
         else:
             out = out.orderBy(F.asc("doc_id"))
         found = out.count()
@@ -294,11 +311,7 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             )
         else:
             match = wand_match_ids(idx, query, mode=mode, allowed=allowed)
-        field, _, direction = sort_by.partition(":")
-        order = (
-            F.desc(field) if direction.strip() == "desc" else F.asc(field)
-        )
-        out = docs.join(match, "doc_id").orderBy(order, F.asc("doc_id"))
+        out = docs.join(match, "doc_id").orderBy(*_sort_cols(sort_by, docs))
         found = out.count()
         rows = (
             _doc_cols(out).limit(page * per_page).collect()

@@ -338,3 +338,24 @@ def test_search_exclude_fields(spark, sf_dir):
     assert all(set(h["document"]) == {"lang"} for h in both["hits"])
     with pytest.raises(ValueError, match="unknown exclude_fields"):
         search(spark, sf_dir, {"q": "spark", "exclude_fields": "nope"})
+
+
+def test_search_multikey_sort_by(spark, sf_dir):
+    """sort_by takes up to 3 comma-separated keys (Typesense's cap),
+    on match-all and ranked paths; >3 keys or unknown fields raise."""
+    r = search(spark, sf_dir,
+               {"q": "*", "sort_by": "lang:asc,n_chars:desc", "per_page": 20})
+    pairs = [(h["document"]["lang"], h["document"]["n_chars"])
+             for h in r["hits"]]
+    assert pairs == sorted(pairs, key=lambda p: (p[0], -p[1]))
+    rk = search(spark, sf_dir,
+                {"q": "spark", "sort_by": "lang:asc,n_chars:desc",
+                 "per_page": 10, "num_typos": 0})
+    rp = [(h["document"]["lang"], h["document"]["n_chars"])
+          for h in rk["hits"]]
+    assert rp == sorted(rp, key=lambda p: (p[0], -p[1]))
+    with pytest.raises(ValueError, match="at most 3"):
+        search(spark, sf_dir,
+               {"q": "*", "sort_by": "lang:asc,n_chars:asc,doc_id:asc,source:asc"})
+    with pytest.raises(ValueError, match="unknown sort_by"):
+        search(spark, sf_dir, {"q": "*", "sort_by": "nope:desc"})
