@@ -293,3 +293,76 @@ def test_stream_upsert_multifield_exactly_once(spark, tmp_path):
             for r in wand_topk_multifield(ref, weights, q, k=15).collect()
         ]
         assert a == b, q
+
+
+def test_stream_mf_replay_after_torn_commit_reapplies(
+    spark, tmp_path, monkeypatch
+):
+    """The multifield stream inherits the reconcile-first replay guard:
+    a crash at the last commit step (meta lineage stream-mf-0 LIVE,
+    pending marker still present) must roll back on restart and the
+    replayed batch must re-apply — not be skipped and then lost."""
+    import os as _os
+
+    import pytest
+    from pyf_aggregator_spark.index.incremental import upsert_multifield
+    from pyf_aggregator_spark.index.segments import build_multifield_segments
+    from pyf_aggregator_spark.search.wand import (
+        load_multifield_index,
+        wand_topk_multifield,
+    )
+    from pyf_aggregator_spark.streaming.live_index import (
+        stream_upsert_multifield,
+    )
+
+    fields = ["name", "title", "body"]
+    weights = {"name": 10.0, "title": 5.0, "body": 1.0}
+    schema = "doc_id long, name string, title string, body string"
+    base_rows = [
+        (i, f"pkg{i}", f"title w{i % 5}", f"body w{i % 3} filler")
+        for i in range(20)
+    ]
+    d = str(tmp_path / "mftorn")
+    build_multifield_segments(
+        spark.createDataFrame(base_rows, schema), d, fields,
+        num_partitions=2, lineage="b",
+    )
+    ups = [(2, "pkg2-v2", "quantum title", "quantum body"),
+           (20, "newpkg", "quantum", "w1")]
+    upd = spark.createDataFrame(ups, schema)
+
+    real_remove = _os.remove
+
+    def rm(path, _r=real_remove):
+        if str(path).endswith(".json") and "pending" in str(path):
+            raise RuntimeError("simulated crash")
+        return _r(path)
+
+    monkeypatch.setattr(_os, "remove", rm)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        upsert_multifield(spark, d, upd, fields, lineage="stream-mf-0")
+    monkeypatch.setattr(_os, "remove", real_remove)
+    assert _os.listdir(f"{d}/pending")  # torn state on disk
+
+    src = str(tmp_path / "mftornsrc")
+    _stage_chunk(upd, src, "u0", str(tmp_path))
+    applied = stream_upsert_multifield(
+        spark, src, d, str(tmp_path / "mftornckpt"), fields
+    )
+    assert applied == [0]  # NOT skipped: reconcile ran before the guard
+
+    merged = {r[0]: r for r in base_rows}
+    for r in ups:
+        merged[r[0]] = r
+    d2 = str(tmp_path / "mftornref")
+    build_multifield_segments(
+        spark.createDataFrame(sorted(merged.values()), schema), d2, fields,
+        num_partitions=2, lineage="r",
+    )
+    idx, ref = load_multifield_index(spark, d), load_multifield_index(spark, d2)
+    for q in ["quantum", "pkg2 body", "w1"]:
+        a = [(r["doc_id"], r["score"])
+             for r in wand_topk_multifield(idx, weights, q, k=10).collect()]
+        b = [(r["doc_id"], r["score"])
+             for r in wand_topk_multifield(ref, weights, q, k=10).collect()]
+        assert a == b, q
