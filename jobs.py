@@ -107,6 +107,7 @@ def main() -> None:
     se.add_argument("--highlight", action="store_true")
     se.add_argument("--include-fields", default=None)
     se.add_argument("--exclude-fields", default=None)
+    se.add_argument("--facet-query", default=None)
 
     args = ap.parse_args()
 
@@ -267,6 +268,7 @@ def main() -> None:
             "highlight": args.highlight,
             "include_fields": args.include_fields,
             "exclude_fields": args.exclude_fields,
+            "facet_query": args.facet_query,
         }
         out = {
             "cmd": "search",

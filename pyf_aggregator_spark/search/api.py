@@ -14,6 +14,10 @@ applies silently) and returns a Typesense-shaped response dict:
                          one WAND pass (wand_topk_multifield)
     filter_by            "field:=value" / "field:=[v1,v2]", joined by &&
     facet_by             comma list of facet fields
+    facet_query          "field:prefix" — facet-value autocomplete:
+                         restrict that field's listed values to the
+                         case-insensitive prefix (counts still from
+                         the hit set)
     sort_by              "f1:desc,f2:asc" (≤3 keys, Typesense's cap) —
                          on match-all AND ranked queries (ranked: the
                          match set is ordered by the sort fields via
@@ -233,7 +237,8 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
                 for r in rows
             ],
             "facet_counts": _facets(
-                params.get("facet_by"), filtered_docs.select("*")
+                params.get("facet_by"), filtered_docs.select("*"),
+                params.get("facet_query"),
             ),
         }
 
@@ -324,7 +329,8 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
                 for r in rows
             ],
             "facet_counts": _facets(
-                params.get("facet_by"), docs.join(match, "doc_id")
+                params.get("facet_by"), docs.join(match, "doc_id"),
+                params.get("facet_query"),
             ),
         }
 
@@ -438,7 +444,8 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         else:
             match_set = wand_match_ids(idx, query, mode=mode, allowed=allowed)
         facet_counts = _facets(
-            params.get("facet_by"), docs.join(match_set, "doc_id")
+            params.get("facet_by"), docs.join(match_set, "doc_id"),
+            params.get("facet_query"),
         )
     return {
         "found": found,
@@ -448,13 +455,29 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     }
 
 
-def _facets(facet_by: str | None, hit_docs: DataFrame) -> list[dict]:
+def _facets(
+    facet_by: str | None, hit_docs: DataFrame, facet_query: str | None = None
+) -> list[dict]:
+    """Per-value counts over the hit set. ``facet_query``
+    ("field:prefix", Typesense's facet-value autocomplete) restricts
+    THAT field's listed values to the case-insensitive prefix — the
+    filter rides into the groupBy (pruned before the shuffle), counts
+    still come from the hit set."""
     if not facet_by:
         return []
+    fq_field = fq_prefix = None
+    if facet_query:
+        fq_field, _, fq_prefix = facet_query.partition(":")
+        fq_field, fq_prefix = fq_field.strip(), fq_prefix.strip().lower()
     out = []
     for field in [f.strip() for f in facet_by.split(",") if f.strip()]:
+        src = hit_docs
+        if field == fq_field and fq_prefix:
+            src = src.filter(
+                F.lower(F.col(field).cast("string")).startswith(fq_prefix)
+            )
         counts = (
-            hit_docs.groupBy(field)
+            src.groupBy(field)
             .agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc(field))
             .collect()

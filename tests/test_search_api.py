@@ -359,3 +359,21 @@ def test_search_multikey_sort_by(spark, sf_dir):
                {"q": "*", "sort_by": "lang:asc,n_chars:asc,doc_id:asc,source:asc"})
     with pytest.raises(ValueError, match="unknown sort_by"):
         search(spark, sf_dir, {"q": "*", "sort_by": "nope:desc"})
+
+
+def test_search_facet_query_prefix_filter(spark, sf_dir):
+    """facet_query 'field:prefix' (Typesense facet autocomplete)
+    restricts that field's listed values case-insensitively; counts
+    still come from the hit set; other facet fields unaffected."""
+    base = search(spark, sf_dir,
+                  {"q": "spark", "facet_by": "lang", "num_typos": 0})
+    all_vals = {c["value"]: c["count"]
+                for c in base["facet_counts"][0]["counts"]}
+    assert len(all_vals) > 1
+    some = sorted(all_vals)[0]
+    fq = search(spark, sf_dir,
+                {"q": "spark", "facet_by": "lang",
+                 "facet_query": f"lang:{some[:1]}", "num_typos": 0})
+    vals = {c["value"]: c["count"] for c in fq["facet_counts"][0]["counts"]}
+    assert vals and all(v.lower().startswith(some[:1]) for v in vals)
+    assert all(vals[v] == all_vals[v] for v in vals)  # counts unchanged
