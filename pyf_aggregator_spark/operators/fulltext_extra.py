@@ -275,7 +275,8 @@ def j5_topk_hydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouped_search(
     spark: SparkSession, sf_dir: str, query: str, group_col: str,
     group_limit: int = 1, k: int = 100, engine: str = "wand",
-    allowed: DataFrame | None = None,
+    allowed: DataFrame | None = None, mode: str = "or",
+    slot_terms: list[list[str]] | None = None,
 ) -> DataFrame:
     """§2.8 group_by + group_limit combined with ranking: up to
     ``group_limit`` best hits per facet group (db.py:266-290's grouped
@@ -295,12 +296,21 @@ def grouped_search(
     from pyspark.sql import Window
 
     if engine == "wand":
-        topk = wand_topk(
-            documents_segment_index(spark, sf_dir), query, k=k, mode="or",
-            allowed=allowed,
-        )
+        idx = documents_segment_index(spark, sf_dir)
+        if slot_terms is not None:
+            # prefix expansions keep slot-max scoring inside grouped
+            # search (the facade's group_by × prefix composition)
+            from pyf_aggregator_spark.search.wand import wand_topk_slots
+
+            topk = wand_topk_slots(
+                idx, slot_terms, k=k, mode=mode, allowed=allowed
+            )
+        else:
+            topk = wand_topk(idx, query, k=k, mode=mode, allowed=allowed)
+    elif slot_terms is not None:
+        raise ValueError("slot_terms requires engine='wand'")
     elif allowed is None:
-        topk = bm25_topk(documents_index(spark, sf_dir), query, k=k, mode="or")
+        topk = bm25_topk(documents_index(spark, sf_dir), query, k=k, mode=mode)
     else:
         # df twin, filtered: restrict the SCORED set before the top-k
         # cut (a post-filter of an unfiltered top-k would under-fill)

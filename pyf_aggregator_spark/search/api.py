@@ -310,12 +310,19 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     # beyond the k-row page.
     sort_by = params.get("sort_by")
     if sort_by:
+        # slot_terms rides into the match-ids kernel so the sort_by
+        # match set uses the SAME membership as the slotted hits/found
+        # (ADVICE r4: the flat expansion required every completion in
+        # and-mode, contradicting found)
         if mf is not None:
             match = wand_match_ids_multifield(
-                mf, sorted(weights), query, allowed=allowed
+                mf, sorted(weights), query, allowed=allowed,
+                mode=mode, slot_terms=slot_terms,
             )
         else:
-            match = wand_match_ids(idx, query, mode=mode, allowed=allowed)
+            match = wand_match_ids(
+                idx, query, mode=mode, allowed=allowed, slot_terms=slot_terms
+            )
         out = docs.join(match, "doc_id").orderBy(*_sort_cols(sort_by, docs))
         found = out.count()
         rows = (
@@ -347,6 +354,7 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             cand = wand_topk_multifield(
                 mf, weights, query,
                 k=max(100, page * per_page * limit), allowed=allowed,
+                mode=mode, slot_terms=slot_terms,
             )
             gdocs = docs.select("doc_id", group_by)
             w = Window.partitionBy(group_by).orderBy(
@@ -364,7 +372,7 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         else:
             grouped = grouped_search(
                 spark, sf_dir, query, group_by, group_limit=limit,
-                allowed=allowed,
+                allowed=allowed, mode=mode, slot_terms=slot_terms,
             ).collect()
         return {
             "found": len(grouped),
@@ -375,13 +383,31 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     k = page * per_page
     drop_threshold = int(params.get("drop_tokens_threshold", 0))
     if mf is not None:
+        from pyf_aggregator_spark.search.fallback import (
+            drop_tokens_mf_with_found,
+        )
         from pyf_aggregator_spark.search.wand import (
             wand_topk_multifield_with_found,
         )
 
-        all_rows, found = wand_topk_multifield_with_found(
-            mf, weights, query, k=k, allowed=allowed
-        )
+        # defaults compose on the PRIMARY multifield surface (VERDICT
+        # r4's largest parity gap): prefix rides in as slot_terms
+        # (per-field best-completion scoring), and-mode requires every
+        # token in some queried field, and drop_tokens cascades over
+        # multifield and-mode passes. Prefix takes precedence over the
+        # drop cascade, mirroring the single-field branch order.
+        if slot_terms is None and drop_threshold and mode == "and":
+            all_rows, used_terms, found = drop_tokens_mf_with_found(
+                mf, weights, terms, k=k, threshold=drop_threshold,
+                allowed=allowed,
+            )
+            terms = used_terms
+            query = " ".join(used_terms)
+        else:
+            all_rows, found = wand_topk_multifield_with_found(
+                mf, weights, query, k=k, allowed=allowed,
+                mode=mode, slot_terms=slot_terms,
+            )
     elif slot_terms is not None:
         from pyf_aggregator_spark.search.wand import (
             wand_topk_slots_with_found,
@@ -395,6 +421,7 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             idx, query, k=k, mode=mode, threshold=drop_threshold,
             allowed=allowed,
         )
+        terms = used_terms  # highlight/facets mark the SURVIVING tokens
         query = " ".join(used_terms)
     else:
         # found (Typesense's exact match-set size) comes out of the SAME
@@ -439,10 +466,13 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         # set — still segment-only, aggregated map-side, never collected
         if mf is not None:
             match_set = wand_match_ids_multifield(
-                mf, sorted(weights), query, allowed=allowed
+                mf, sorted(weights), query, allowed=allowed,
+                mode=mode, slot_terms=slot_terms,
             )
         else:
-            match_set = wand_match_ids(idx, query, mode=mode, allowed=allowed)
+            match_set = wand_match_ids(
+                idx, query, mode=mode, allowed=allowed, slot_terms=slot_terms
+            )
         facet_counts = _facets(
             params.get("facet_by"), docs.join(match_set, "doc_id"),
             params.get("facet_query"),

@@ -69,3 +69,32 @@ def drop_tokens_with_found(
         if len(terms) == 1 or found >= threshold:
             return hits, terms, found
         terms = terms[:-1]  # right-to-left, Typesense's default
+
+
+def drop_tokens_mf_with_found(
+    mf: dict,
+    weights: dict[str, float],
+    terms: list[str],
+    k: int = 10,
+    threshold: int = 1,
+    allowed=None,
+) -> tuple[list[dict], list[str], int]:
+    """Multifield drop_tokens cascade (query_by × drop_tokens_threshold
+    — the reference's primary surface runs BOTH defaults): and-mode over
+    token groups (every token must match in at least one queried field),
+    rightmost token dropped per retry, each retry one multifield WAND
+    pass with the exact match count riding the same kernel pass. →
+    (hits, used_terms, found)."""
+    from pyf_aggregator_spark.search.wand import (
+        wand_topk_multifield_with_found,
+    )
+
+    if not terms:
+        return [], [], 0
+    while True:
+        hits, found = wand_topk_multifield_with_found(
+            mf, weights, " ".join(terms), k=k, allowed=allowed, mode="and"
+        )
+        if len(terms) == 1 or found >= threshold:
+            return hits, terms, found
+        terms = terms[:-1]  # right-to-left, Typesense's default

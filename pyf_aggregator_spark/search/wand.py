@@ -162,6 +162,7 @@ def _topk_one_query(
     tombstones: np.ndarray,
     allowed: np.ndarray | None = None,
     slots: dict[str, int] | None = None,
+    groups: dict[str, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Interval-granular block-max WAND over one partition's blocks.
 
@@ -170,18 +171,26 @@ def _topk_one_query(
     the wrong doc among rounding-equal ties. Pruning is safe because
     round is monotone: round(ub) < θ ⟹ round(s) < θ ∀ s ≤ ub.
 
-    ``slots`` (optional) groups terms into scoring slots: a doc's score
+    ``slots`` (optional) groups terms into SCORING slots: a doc's score
     for a slot is the MAX over the slot's matched members (not the
-    sum), and nmatch counts SLOTS — the Typesense prefix-expansion
-    semantics (the best single completion scores, the prefix counts as
-    ONE query token). None → every term is its own slot (plain BM25).
-    The interval upper bound stays Σ per-term bounds, which dominates
-    the Σ-of-slot-maxima true score — pruning stays exact, merely less
-    tight on slotted queries."""
+    sum) — the Typesense prefix-expansion semantics (the best single
+    completion scores). None → every term is its own slot (plain sum).
+
+    ``groups`` (optional) groups terms into MATCH groups: nmatch counts
+    matched groups (a group matches when ANY member matches) and
+    and-mode requires every group — the "each query token must appear
+    in at least one queried field" multifield semantics. None → groups
+    follow slots (the single-field prefix case), else each term is its
+    own group. Slots must nest inside groups (every member of a slot
+    shares the group). The interval upper bound stays Σ per-term
+    bounds, which dominates the Σ-of-slot-maxima true score — pruning
+    stays exact, merely less tight on slotted queries."""
     terms = [t for t in terms if t in blocks.per_term]
-    if slots is not None:
-        n_live_slots = len({slots[t] for t in terms})
-        if not terms or (mode == "and" and n_live_slots < n_query_terms):
+    if groups is None and slots is not None:
+        groups = slots
+    if groups is not None:
+        n_live_groups = len({groups[t] for t in terms})
+        if not terms or (mode == "and" and n_live_groups < n_query_terms):
             return []
     elif not terms or (mode == "and" and len(terms) < n_query_terms):
         return []
@@ -211,15 +220,15 @@ def _topk_one_query(
         ub += np.where(ok, idf_map[t] * maxn[np.clip(bi, 0, None)] * factor, 0.0)
         active[ti] = ok
     if mode == "and":
-        if slots is None:
+        if groups is None:
             ok = active.all(axis=0)
         else:
-            # all SLOTS must be active (any member term), not all terms
+            # all GROUPS must be active (any member term), not all terms
             ok = np.ones(n_ivl, dtype=bool)
-            for sid in sorted({slots[t] for t in terms}):
+            for gid in sorted({groups[t] for t in terms}):
                 member = np.zeros(n_ivl, dtype=bool)
                 for ti, t in enumerate(terms):
-                    if slots[t] == sid:
+                    if groups[t] == gid:
                         member |= active[ti]
                 ok &= member
         ub = np.where(ok, ub, 0.0)
@@ -234,7 +243,7 @@ def _topk_one_query(
             break  # ub desc ⟹ every remaining interval rounds below θ
         lo, hi = int(ivl_lo[i]), int(ivl_hi[i])
         width = hi - lo + 1
-        if slots is None:
+        if slots is None and groups is None:
             acc = np.zeros(width, dtype=np.float64)
             nmatch = np.zeros(width, dtype=np.int32)
             for ti, t in enumerate(terms):
@@ -248,8 +257,33 @@ def _topk_one_query(
                 off = ids[a:b_] - lo
                 acc[off] += sc[a:b_]
                 nmatch[off] += 1
+        elif slots is None:
+            # sum scoring (each term its own slot) with GROUP membership
+            # — the multifield and-mode shape (score sums every matched
+            # field×term, a token matches via any field)
+            acc = np.zeros(width, dtype=np.float64)
+            group_hit: dict[int, np.ndarray] = {}
+            for ti, t in enumerate(terms):
+                if not active[ti, i]:
+                    continue
+                ids, sc = blocks.postings(t)
+                a = np.searchsorted(ids, lo, side="left")
+                b_ = np.searchsorted(ids, hi, side="right")
+                if a == b_:
+                    continue
+                off = ids[a:b_] - lo
+                acc[off] += sc[a:b_]
+                gh = group_hit.get(groups[t])
+                if gh is None:
+                    gh = np.zeros(width, dtype=bool)
+                    group_hit[groups[t]] = gh
+                gh[off] = True
+            nmatch = np.zeros(width, dtype=np.int32)
+            for gh in group_hit.values():
+                nmatch += gh
         else:
             slot_best: dict[int, np.ndarray] = {}
+            slot_group: dict[int, int] = {}
             for ti, t in enumerate(terms):
                 if not active[ti, i]:
                     continue
@@ -263,12 +297,20 @@ def _topk_one_query(
                 if arr is None:
                     arr = np.zeros(width, dtype=np.float64)
                     slot_best[slots[t]] = arr
+                    slot_group[slots[t]] = groups[t]
                 arr[off] = np.maximum(arr[off], sc[a:b_])
             acc = np.zeros(width, dtype=np.float64)
             nmatch = np.zeros(width, dtype=np.int32)
-            for arr in slot_best.values():
+            group_hit = {}
+            for sid, arr in slot_best.items():
                 acc += arr
-                nmatch += (arr > 0.0)
+                gh = group_hit.get(slot_group[sid])
+                if gh is None:
+                    gh = np.zeros(width, dtype=bool)
+                    group_hit[slot_group[sid]] = gh
+                gh |= arr > 0.0
+            for gh in group_hit.values():
+                nmatch += gh
         hit = (nmatch == n_query_terms) if mode == "and" else (nmatch > 0)
         offs = np.flatnonzero(hit)
         if tombstones.size and offs.size:
@@ -308,27 +350,28 @@ def _match_ids_one_query(
     n_query_terms: int,
     tombstones: np.ndarray,
     allowed: np.ndarray | None,
-    slots: dict[str, int] | None = None,
+    groups: dict[str, int] | None = None,
 ) -> np.ndarray:
     """Exact matched doc_ids in one partition (post tombstone/filter),
     WITHOUT scoring: per-term posting ids are unioned (or) /
     count-intersected (and). No heap, no pruning — the count must cover
     docs WAND would prune, but the scan is still term-filtered, so the
     cost is the query terms' postings in this partition, not the
-    corpus. With ``slots``, membership counts SLOTS (a slot matches if
-    any member term matches — the prefix-expansion semantics)."""
+    corpus. With ``groups``, membership counts GROUPS (a group matches
+    if any member term matches — prefix-expansion slots and multifield
+    any-field token matching both reduce to this)."""
     terms = [t for t in terms if t in blocks.per_term]
-    if slots is not None:
+    if groups is not None:
         if not terms or (
-            mode == "and" and len({slots[t] for t in terms}) < n_query_terms
+            mode == "and" and len({groups[t] for t in terms}) < n_query_terms
         ):
             return np.empty(0, dtype=np.int64)
-        by_slot: dict[int, list[str]] = {}
+        by_group: dict[int, list[str]] = {}
         for t in terms:
-            by_slot.setdefault(slots[t], []).append(t)
+            by_group.setdefault(groups[t], []).append(t)
         per = [
             np.unique(np.concatenate([blocks.postings(t)[0] for t in ts]))
-            for ts in by_slot.values()
+            for ts in by_group.values()
         ]
     else:
         if not terms or (mode == "and" and len(terms) < n_query_terms):
@@ -349,7 +392,8 @@ def _match_ids_one_query(
 def _wand_partition(idf_map: dict[str, float], avgdl: float, k: int, mode: str,
                     n_query_terms: int, bound_factor: dict[int, float],
                     filtered: bool = False, count_matches: bool = False,
-                    slots: dict[str, int] | None = None):
+                    slots: dict[str, int] | None = None,
+                    groups: dict[str, int] | None = None):
     """applyInPandas kernel: blocks of one doc-range partition → local
     top-k. ``bound_factor[part_id]`` inflates stored block maxima when
     the corpus avgdl grew past the partition's build-time avgdl after
@@ -378,14 +422,14 @@ def _wand_partition(idf_map: dict[str, float], avgdl: float, k: int, mode: str,
         blocks = _PartitionBlocks(pdf, idf_map, avgdl)
         hits = _topk_one_query(
             blocks, sorted(idf_map), k, mode, n_query_terms,
-            bound_factor.get(part_id, 1.0), tomb_ids, allowed, slots,
+            bound_factor.get(part_id, 1.0), tomb_ids, allowed, slots, groups,
         )
         ids = [d for d, _ in hits]
         scores = [s for _, s in hits]
         if count_matches:
             n = _match_ids_one_query(
                 blocks, sorted(idf_map), mode, n_query_terms, tomb_ids,
-                allowed, slots,
+                allowed, groups if groups is not None else slots,
             ).size
             ids.append(COUNT_DOC_ID)
             scores.append(float(n))
@@ -733,25 +777,41 @@ def wand_topk_slots_with_found(
 def wand_match_ids(
     idx: dict, query: str, mode: str = "or",
     allowed: DataFrame | None = None,
+    slot_terms: list[list[str]] | None = None,
 ) -> DataFrame:
     """→ DataFrame(doc_id long): the exact (filtered) match set as a
     DISTRIBUTED frame — the input to hit-set facet aggregation. Stays on
     the segment index (term-pruned scan, no scoring); never collected,
-    so facets over a huge match set aggregate map-side like any groupBy."""
+    so facets over a huge match set aggregate map-side like any groupBy.
+
+    ``slot_terms`` (optional, overrides ``query``) carries prefix
+    expansion groups: a group matches when ANY member matches and
+    and-mode requires every GROUP — the same membership semantics as
+    wand_topk_slots, so facet/sort match sets agree with the slotted
+    hits/found (ADVICE r4: the flat expansion required every completion
+    in and-mode)."""
     spark = idx["segments"].sparkSession
     from pyf_aggregator_spark.session import ensure_py_files
 
     ensure_py_files(spark)
-    terms = sorted(set(tokenize_py(query)))
-    if not terms:
-        return spark.createDataFrame([], "doc_id long")
-    idf_rows = (
-        idx["term_stats"].filter(F.col("term").isin(terms)).select("term", "idf").collect()
-    )
-    idf_map = {r["term"]: r["idf"] for r in idf_rows}
-    if not idf_map or (mode == "and" and len(idf_map) < len(terms)):
-        return spark.createDataFrame([], "doc_id long")
-    n_query_terms = len(terms)
+    if slot_terms is not None:
+        spec = _slots_spec(idx, slot_terms, mode)
+        if spec is None:
+            return spark.createDataFrame([], "doc_id long")
+        idf_map, groups = spec
+        n_query_terms = len(slot_terms)
+    else:
+        terms = sorted(set(tokenize_py(query)))
+        if not terms:
+            return spark.createDataFrame([], "doc_id long")
+        idf_rows = (
+            idx["term_stats"].filter(F.col("term").isin(terms)).select("term", "idf").collect()
+        )
+        idf_map = {r["term"]: r["idf"] for r in idf_rows}
+        if not idf_map or (mode == "and" and len(idf_map) < len(terms)):
+            return spark.createDataFrame([], "doc_id long")
+        groups = None
+        n_query_terms = len(terms)
     filtered = allowed is not None
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -763,7 +823,8 @@ def wand_match_ids(
             return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
         blocks = _PartitionBlocks(pdf, idf_map, 1.0)  # avgdl unused: no scoring
         ids = _match_ids_one_query(
-            blocks, sorted(idf_map), mode, n_query_terms, tomb_ids, allow
+            blocks, sorted(idf_map), mode, n_query_terms, tomb_ids, allow,
+            groups,
         )
         return pd.DataFrame({"doc_id": ids})
 
@@ -819,6 +880,73 @@ def load_multifield_index(spark: SparkSession, index_dir: str) -> dict:
     }
 
 
+def _mf_spec(
+    idx: dict,
+    weights: dict[str, float],
+    query: str,
+    slot_terms: list[list[str]] | None,
+    mode: str,
+):
+    """Shared stat lookup for the multifield kernel paths.
+
+    Token groups come from ``slot_terms`` (prefix expansion sets) or
+    one singleton group per query token. → None when zero-hit by
+    construction, else (raw_terms, idf_map, avgdl_map, slots, groups,
+    n_groups) over field-namespaced ``field␟term`` keys:
+
+    - groups[key] = the token-group index of the key's raw term — a
+      token matches when ANY (field, member-term) matches, and-mode
+      requires every token (Typesense's multifield AND).
+    - slots[key] = a (field, token-group) scoring slot — within one
+      field a prefix token scores its BEST completion (max), fields
+      still SUM; None when no group has expansions (singleton slots ≡
+      plain sum, so the hot plain-query path skips the slot machinery).
+    """
+    if slot_terms is None:
+        token_groups = [[t] for t in dict.fromkeys(tokenize_py(query))]
+    else:
+        token_groups = slot_terms
+    raw_terms = sorted({t for g in token_groups for t in g})
+    if not raw_terms:
+        return None
+    fields = sorted(weights)
+    stats = (
+        idx["term_stats"]
+        .filter(F.col("term").isin(raw_terms) & F.col("field").isin(fields))
+        .select("field", "term", "idf")
+        .collect()
+    )
+    if not stats:
+        return None
+    term_group: dict[str, int] = {}
+    for gi, g in enumerate(token_groups):
+        for t in g:
+            term_group.setdefault(t, gi)
+    n_groups = len(token_groups)
+    field_idx = {f: i for i, f in enumerate(fields)}
+    idf_map, avgdl_map, slots, groups = {}, {}, {}, {}
+    live_terms = set()
+    for r in stats:
+        key = r["field"] + FIELD_SEP + r["term"]
+        idf_map[key] = r["idf"] * weights[r["field"]]
+        avgdl_map[key] = idx["avgdl_by_field"][r["field"]]
+        gi = term_group[r["term"]]
+        groups[key] = gi
+        slots[key] = field_idx[r["field"]] * n_groups + gi
+        live_terms.add(r["term"])
+    if mode == "and" and len(
+        {term_group[t] for t in live_terms}
+    ) < n_groups:
+        return None  # a token with no live member in any field
+    if all(len(g) == 1 for g in token_groups):
+        slots = None  # singleton slots ≡ sum — keep the fast path
+    if mode == "or" and slots is None:
+        # or-mode membership is nmatch>0 regardless of grouping — drop
+        # groups too so the plain weighted query keeps the fast path
+        groups = None
+    return raw_terms, idf_map, avgdl_map, slots, groups, n_groups
+
+
 def _wand_mf_local(
     idx: dict,
     weights: dict[str, float],
@@ -826,34 +954,24 @@ def _wand_mf_local(
     k: int,
     allowed: DataFrame | None = None,
     count_matches: bool = False,
+    mode: str = "or",
+    slot_terms: list[list[str]] | None = None,
 ) -> DataFrame | None:
     """Shared front half of the multifield kernel paths: per-(field,
-    term) stat lookup, field-namespaced scan, one applyInPandas pass."""
+    term) stat lookup, field-namespaced scan, one applyInPandas pass.
+
+    ``mode='and'`` requires every token group to match in at least one
+    field (Typesense multifield AND); ``slot_terms`` carries prefix
+    expansion groups (per-field best-completion scoring)."""
     spark = idx["segments"].sparkSession
     from pyf_aggregator_spark.session import ensure_py_files
 
     ensure_py_files(spark)
-    terms = sorted(set(tokenize_py(query)))
-    if not terms:
+    spec = _mf_spec(idx, weights, query, slot_terms, mode)
+    if spec is None:
         return None
-
+    raw_terms, idf_map, avgdl_map, slots, groups, n_groups = spec
     fields = sorted(weights)
-    stats = (
-        idx["term_stats"]
-        .filter(F.col("term").isin(terms) & F.col("field").isin(fields))
-        .select("field", "term", "idf")
-        .collect()
-    )
-    if not stats:
-        return None
-    idf_map = {
-        r["field"] + FIELD_SEP + r["term"]: r["idf"] * weights[r["field"]]
-        for r in stats
-    }
-    avgdl_map = {
-        r["field"] + FIELD_SEP + r["term"]: idx["avgdl_by_field"][r["field"]]
-        for r in stats
-    }
     # one scan: term IN-filter + field partition pruning pushed to the
     # parquet read; the field namespace rides the term column so every
     # doc-range partition answers the weighted query in one kernel pass.
@@ -862,16 +980,17 @@ def _wand_mf_local(
     # mechanisms as the single-field path; a fresh build has neither.
     seg = (
         idx["segments"]
-        .filter(F.col("term").isin(terms) & F.col("field").isin(fields))
+        .filter(F.col("term").isin(raw_terms) & F.col("field").isin(fields))
         .withColumn("term", F.concat("field", F.lit(FIELD_SEP), "term"))
         .select(*_SEG_COLS)
     )
     return _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
         _wand_partition(
-            idf_map, avgdl_map, k, "or", len(idf_map),
+            idf_map, avgdl_map, k, mode, n_groups,
             idx.get("bound_factor", {}),
             filtered=allowed is not None,
             count_matches=count_matches,
+            slots=slots, groups=groups,
         ),
         "doc_id long, raw_score double",
     )
@@ -883,6 +1002,8 @@ def wand_topk_multifield(
     query: str,
     k: int = 10,
     allowed: DataFrame | None = None,
+    mode: str = "or",
+    slot_terms: list[list[str]] | None = None,
 ) -> DataFrame:
     """Weighted multi-field top-k on the SEGMENT path — the scale form
     of §2.8 query_by + query_by_weights (reference AGENTS.md:16-20).
@@ -899,9 +1020,14 @@ def wand_topk_multifield(
     dominate every true score, so pruning never drops a winner. No
     query-time index construction, no per-field top-k merge error.
     ``allowed`` is the filter_by allow-set, applied pre-heap in the
-    kernel like the single-field path."""
+    kernel like the single-field path. ``mode='and'`` requires every
+    query token in at least one queried field; ``slot_terms`` carries
+    prefix expansion groups (per-field best-completion scoring, fields
+    sum)."""
     spark = idx["segments"].sparkSession
-    local = _wand_mf_local(idx, weights, query, k, allowed)
+    local = _wand_mf_local(
+        idx, weights, query, k, allowed, mode=mode, slot_terms=slot_terms
+    )
     if local is None:
         return spark.createDataFrame([], "doc_id long, score double")
     return (
@@ -919,11 +1045,16 @@ def wand_topk_multifield_with_found(
     query: str,
     k: int = 10,
     allowed: DataFrame | None = None,
+    mode: str = "or",
+    slot_terms: list[list[str]] | None = None,
 ) -> tuple[list[dict], int]:
     """Multifield twin of wand_topk_with_found: top-k + Typesense's
-    exact ``found`` (docs matching in ANY queried field, deduplicated)
-    from one kernel pass."""
-    local = _wand_mf_local(idx, weights, query, k, allowed, count_matches=True)
+    exact ``found`` (docs matching in ANY queried field, deduplicated;
+    and-mode: every token group matched) from one kernel pass."""
+    local = _wand_mf_local(
+        idx, weights, query, k, allowed, count_matches=True,
+        mode=mode, slot_terms=slot_terms,
+    )
     if local is None:
         return [], 0
     rows = local.collect()
@@ -942,28 +1073,25 @@ def wand_match_ids_multifield(
     fields: list[str],
     query: str,
     allowed: DataFrame | None = None,
+    mode: str = "or",
+    slot_terms: list[list[str]] | None = None,
 ) -> DataFrame:
-    """→ DataFrame(doc_id long): docs matching ANY query term in ANY of
+    """→ DataFrame(doc_id long): docs matching query terms in any of
     ``fields`` (deduplicated), post tombstones/filter — the multifield
     twin of wand_match_ids, feeding facet/grouped/sort_by paths. No
-    scoring; the scan stays term- and field-pruned."""
+    scoring; the scan stays term- and field-pruned. ``mode='and'``
+    requires every token group in at least one field; ``slot_terms``
+    carries prefix expansion groups (a group matches via any member) —
+    the same membership semantics as the slotted top-k, so facet/sort
+    sets agree with hits/found."""
     spark = idx["segments"].sparkSession
     from pyf_aggregator_spark.session import ensure_py_files
 
     ensure_py_files(spark)
-    terms = sorted(set(tokenize_py(query)))
-    if not terms:
+    spec = _mf_spec(idx, dict.fromkeys(fields, 1.0), query, slot_terms, mode)
+    if spec is None:
         return spark.createDataFrame([], "doc_id long")
-    stats = (
-        idx["term_stats"]
-        .filter(F.col("term").isin(terms) & F.col("field").isin(fields))
-        .select("field", "term")
-        .collect()
-    )
-    if not stats:
-        return spark.createDataFrame([], "doc_id long")
-    keys = {r["field"] + FIELD_SEP + r["term"] for r in stats}
-    idf_map = dict.fromkeys(keys, 1.0)  # scores unused on this path
+    raw_terms, idf_map, _avgdl, _slots, groups, n_groups = spec
     filtered = allowed is not None
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -975,13 +1103,13 @@ def wand_match_ids_multifield(
             return pd.DataFrame({"doc_id": []}).astype({"doc_id": "int64"})
         blocks = _PartitionBlocks(pdf, idf_map, 1.0)
         ids = _match_ids_one_query(
-            blocks, sorted(idf_map), "or", len(idf_map), tomb_ids, allow
+            blocks, sorted(idf_map), mode, n_groups, tomb_ids, allow, groups
         )
         return pd.DataFrame({"doc_id": ids})
 
     seg = (
         idx["segments"]
-        .filter(F.col("term").isin(terms) & F.col("field").isin(fields))
+        .filter(F.col("term").isin(raw_terms) & F.col("field").isin(list(fields)))
         .withColumn("term", F.concat("field", F.lit(FIELD_SEP), "term"))
         .select(*_SEG_COLS)
     )
