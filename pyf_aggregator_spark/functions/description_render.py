@@ -52,6 +52,7 @@ _ATX_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
 _SETEXT_RE = re.compile(r"^(=+|-+)\s*$")
 _FENCE_RE = re.compile(r"^(```|~~~)")
 _BULLET_RE = re.compile(r"^\s*[-*+]\s+(.*)$")
+_ORDERED_RE = re.compile(r"^\s*\d{1,9}[.)]\s+(.*)$")
 
 
 def _md_inline(text: str) -> str:
@@ -75,6 +76,7 @@ def md_to_html(text: str) -> str:
     out: list[str] = []
     para: list[str] = []
     items: list[str] = []
+    list_tag = "ul"
     i = 0
 
     def flush_para():
@@ -84,7 +86,11 @@ def md_to_html(text: str) -> str:
 
     def flush_list():
         if items:
-            out.append("<ul>" + "".join(f"<li>{x}</li>" for x in items) + "</ul>")
+            out.append(
+                f"<{list_tag}>"
+                + "".join(f"<li>{x}</li>" for x in items)
+                + f"</{list_tag}>"
+            )
             items.clear()
 
     while i < len(lines):
@@ -125,9 +131,13 @@ def md_to_html(text: str) -> str:
             out.append(f"<h{lvl}>{_md_inline(line.strip())}</h{lvl}>")
             i += 2
             continue
-        b = _BULLET_RE.match(line)
+        b = _BULLET_RE.match(line) or _ORDERED_RE.match(line)
         if b:
             flush_para()
+            tag = "ul" if _BULLET_RE.match(line) else "ol"
+            if items and tag != list_tag:
+                flush_list()  # list type changed mid-stream
+            list_tag = tag
             items.append(_md_inline(b.group(1)))
             i += 1
             continue

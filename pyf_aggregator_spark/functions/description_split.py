@@ -30,6 +30,7 @@ phase 5 leaves rows-only).
 from __future__ import annotations
 
 import re
+from html import escape as _escape
 from html.parser import HTMLParser
 
 import pandas as pd
@@ -37,8 +38,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+# exact reference pattern set (description_splitter.py:27-34): note
+# "changelog" is ONE word (no inner whitespace) and "release notes"
+# is plural-only — "change log" / "release note" are NOT changelog
+# headings there.
 CHANGELOG_RE = re.compile(
-    r"^(change\s*log|history|changes|release\s*notes?|what'?s\s*new|versions?)$",
+    r"^(changelog|history|changes|release\s*notes|what'?s\s*new|versions?)$",
     re.IGNORECASE,
 )
 BADGE_URL_RE = re.compile(
@@ -124,7 +129,11 @@ class _Flattener(HTMLParser):
 
     def handle_data(self, data):
         if self._depth > 0:
-            self._cur["parts"].append(data)
+            # parts carry SERIALIZED html: re-escape the decoded text
+            # (&, <, >) exactly like the reference's lxml tostring —
+            # emitting decoded data raw would produce invalid HTML for
+            # text containing markup characters
+            self._cur["parts"].append(_escape(data, quote=False))
             self._cur["texts"].append(data)
         # bare top-level text is dropped (reference iterates elements)
 

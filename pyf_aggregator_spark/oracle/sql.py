@@ -139,6 +139,240 @@ LIMIT {k}
 """
 
 
+def _field_base_ctes(col: str, p: str) -> str:
+    """Per-field token/stat CTEs (no hit aggregation) — the building
+    blocks for the multifield-defaults oracles."""
+    return f"""
+{p}tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower({col}), '{SEP_RE_SQL}')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+{p}tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM {p}tok GROUP BY doc_id, term),
+{p}dl AS (
+  SELECT d.doc_id, coalesce(s.doc_len, 0)::BIGINT AS doc_len
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, sum(tf) AS doc_len FROM {p}tf GROUP BY doc_id
+  ) s USING (doc_id)
+),
+{p}dfreq AS (SELECT term, count(*)::BIGINT AS df FROM {p}tf GROUP BY term),
+{p}corpus AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         coalesce(sum(doc_len), 0)::DOUBLE / count(*) AS avgdl
+  FROM {p}dl
+)"""
+
+
+def _field_per_cte(p: str, in_list_sql: str) -> str:
+    """{p}per(doc_id, term, contrib): one field's per-(doc, term)
+    UNWEIGHTED BM25 contributions, restricted to ``in_list_sql``."""
+    return f"""
+{p}per AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / c.avgdl))
+         AS contrib
+  FROM {p}tf tf
+  JOIN {p}dfreq dfreq USING (term)
+  JOIN {p}dl dl USING (doc_id)
+  CROSS JOIN {p}corpus c
+  WHERE tf.term IN {in_list_sql}
+)"""
+
+
+def _mf_scaffold(
+    fields: dict[str, float], in_list_sql: str, mid_ctes: str = ""
+) -> str:
+    """Shared multifield CTE chain: per-field bases → ``mid_ctes``
+    (vocab/expansion/correction CTEs that need dfreq but must precede
+    the per-term restriction) → per-field contribs → union_per(doc_id,
+    term, fi, wcontrib) with the field weight folded in."""
+    bases = ",".join(
+        _field_base_ctes(col, f"f{i}_") for i, col in enumerate(fields)
+    )
+    pers = ",".join(
+        _field_per_cte(f"f{i}_", in_list_sql) for i in range(len(fields))
+    )
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, term, {i} AS fi, contrib * {w} AS wcontrib FROM f{i}_per"
+        for i, w in enumerate(fields.values())
+    )
+    mid = f"{mid_ctes}," if mid_ctes else ""
+    return f"{bases},{mid}{pers},\nunion_per AS ({union})"
+
+
+def _mf_vocab_cte(n_fields: int) -> str:
+    """mfvocab(term, df): document frequency summed across fields —
+    the vocabulary the engine's multifield typo/prefix paths use
+    (facade: mf term_stats groupBy(term).sum(df))."""
+    union = " UNION ALL ".join(
+        f"SELECT term, df FROM f{i}_dfreq" for i in range(n_fields)
+    )
+    return (
+        f"mfvocab AS (SELECT term, sum(df)::BIGINT AS df FROM ({union}) "
+        "GROUP BY term)"
+    )
+
+
+def bm25_multifield_and_sql(
+    query: str, fields: dict[str, float], k: int = 10
+) -> str:
+    """Multifield AND oracle: every query token must appear in AT LEAST
+    ONE queried field (Typesense multifield AND); score stays the
+    weighted sum over every matched (field, term)."""
+    terms = sorted(set(tokenize_py(query)))
+    in_list = "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    return f"""
+WITH {_mf_scaffold(fields, in_list)},
+agg AS (
+  SELECT doc_id, sum(wcontrib) AS raw
+  FROM union_per GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(terms)}
+)
+SELECT doc_id, round(raw, {SCORE_DECIMALS}) AS score FROM agg
+ORDER BY round(raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def prefix_multifield_sql(
+    query: str, fields: dict[str, float], k: int = 10,
+    max_expansions: int = 50,
+) -> str:
+    """Multifield prefix oracle: the last token expands against the
+    SUMMED-df vocabulary (replayed here from mfvocab, independently of
+    the engine); per FIELD the expansion set contributes each doc's
+    BEST completion (max), fixed tokens contribute normally, fields
+    sum under their weights — mirroring _mf_spec's (field, token)
+    scoring slots. Disjunctive."""
+    toks = tokenize_py(query)
+    assert toks, "prefix oracle needs a non-empty query"
+    *fixed, last = toks
+    fixed = sorted(set(fixed))
+    fixed_in = ", ".join(f"'{t}'" for t in fixed) or "''"
+    pre = last.replace("'", "''")
+    mid = f"""
+{_mf_vocab_cte(len(fields))},
+exp AS (
+  SELECT term FROM mfvocab
+  WHERE term LIKE '{pre}%' AND term NOT IN ({fixed_in})
+  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+qterms AS (
+  SELECT unnest(ARRAY[{fixed_in}]) AS term WHERE len(ARRAY[{fixed_in}]) > 0
+  UNION SELECT term FROM exp
+)"""
+    return f"""
+WITH {_mf_scaffold(fields, "(SELECT term FROM qterms)", mid)},
+fixed_part AS (
+  SELECT doc_id, sum(wcontrib) AS s FROM union_per
+  WHERE term IN ({fixed_in}) GROUP BY doc_id
+),
+exp_part AS (
+  SELECT doc_id, sum(m) AS s FROM (
+    SELECT doc_id, fi, max(wcontrib) AS m FROM union_per
+    WHERE term IN (SELECT term FROM exp) GROUP BY doc_id, fi
+  ) GROUP BY doc_id
+),
+ids AS (SELECT doc_id FROM fixed_part UNION SELECT doc_id FROM exp_part),
+agg AS (
+  SELECT i.doc_id, coalesce(f.s, 0) + coalesce(e.s, 0) AS raw
+  FROM ids i
+  LEFT JOIN fixed_part f USING (doc_id)
+  LEFT JOIN exp_part e USING (doc_id)
+)
+SELECT doc_id, round(raw, {SCORE_DECIMALS}) AS score FROM agg
+ORDER BY round(raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def drop_tokens_multifield_sql(
+    query: str, fields: dict[str, float], k: int = 10, threshold: int = 1
+) -> str:
+    """Multifield drop_tokens oracle: one multifield-AND hit set per
+    prefix of the token list (a doc qualifies when every prefix token
+    appears in ≥1 field); the longest prefix with ≥ threshold matches
+    wins, the single-token prefix unconditionally — the cascade decided
+    in SQL, independently of the engine's retry loop."""
+    toks = tokenize_py(query)
+    assert toks, "drop_tokens oracle needs a non-empty query"
+    all_terms = sorted(set(toks))
+    in_list = "(" + ", ".join(f"'{t}'" for t in all_terms) + ")"
+    prefixes = [toks[:j] for j in range(len(toks), 0, -1)]
+    ctes, selects = [], []
+    for i, pfx in enumerate(prefixes):
+        terms = sorted(set(pfx))
+        pfx_in = ", ".join(f"'{t}'" for t in terms)
+        ctes.append(f"""
+h{i} AS (
+  SELECT doc_id, sum(wcontrib) AS raw
+  FROM union_per WHERE term IN ({pfx_in})
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(terms)}
+)""")
+        shorter_all_below = " AND ".join(
+            f"(SELECT count(*) FROM h{j}) < {threshold}" for j in range(i)
+        )
+        own = (
+            f"(SELECT count(*) FROM h{i}) >= {threshold}"
+            if i < len(prefixes) - 1
+            else "1=1"
+        )
+        cond = f"{shorter_all_below} AND {own}" if shorter_all_below else own
+        selects.append(f"SELECT doc_id, raw FROM h{i} WHERE {cond}")
+    union = "\n  UNION ALL ".join(selects)
+    return f"""
+WITH {_mf_scaffold(fields, in_list)},{",".join(ctes)}
+SELECT doc_id, round(raw, {SCORE_DECIMALS}) AS score
+FROM ({union})
+ORDER BY round(raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def typo_multifield_sql(
+    query: str, fields: dict[str, float], k: int = 10, num_typos: int = 2
+) -> str:
+    """Multifield typo oracle: corrections replayed by brute-force
+    Levenshtein over the SUMMED-df vocabulary (the engine corrects
+    against mf term_stats df summed across fields), then the corrected
+    terms score disjunctively under the field weights."""
+    from pyf_aggregator_spark.search.typo import (
+        MAX_TERM_LEN,
+        MIN_LEN_1TYPO,
+        MIN_LEN_2TYPO,
+    )
+
+    qterms = sorted(set(tokenize_py(query)))
+    arr = ", ".join(f"'{t}'" for t in qterms)
+    mid = f"""
+{_mf_vocab_cte(len(fields))},
+qt AS (SELECT unnest(ARRAY[{arr}]) AS qterm),
+corr AS (
+  SELECT qterm, coalesce(
+    (SELECT term FROM mfvocab WHERE term = qterm),
+    (SELECT term FROM mfvocab
+      WHERE length(term) <= {MAX_TERM_LEN}
+        AND levenshtein(qterm, term) <= least(
+              CASE WHEN length(qterm) >= {MIN_LEN_2TYPO} THEN 2
+                   WHEN length(qterm) >= {MIN_LEN_1TYPO} THEN 1
+                   ELSE 0 END, {num_typos})
+      ORDER BY levenshtein(qterm, term) ASC, df DESC, term ASC
+      LIMIT 1)
+  ) AS term FROM qt
+),
+cterms AS (SELECT DISTINCT term FROM corr WHERE term IS NOT NULL)"""
+    return f"""
+WITH {_mf_scaffold(fields, "(SELECT term FROM cterms)", mid)},
+agg AS (SELECT doc_id, sum(wcontrib) AS raw FROM union_per GROUP BY doc_id)
+SELECT doc_id, round(raw, {SCORE_DECIMALS}) AS score FROM agg
+ORDER BY round(raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def typo_topk_sql(query: str, k: int = 10, num_typos: int = 2) -> str:
     """Typo-tolerant disjunctive top-k: replays search/typo.py's
     correction INDEPENDENTLY (brute-force Levenshtein over the

@@ -126,7 +126,7 @@ _ORDER = [
     "ft_wand_or_two_terms", "ft_wand_and_three_terms",
     # §2.8 search surface
     "ft_multifield_5field_weighted", "ft_wand_batch",
-    "ft_filtered_search", "ft_wand_filtered",
+    "ft_filtered_search", "ft_mf_defaults",
     "ft_search_page2", "ft_search_facets",
     "ft_grouped_search_top2_per_lang", "j5_topk_hydrate",
     "k2_upsert_search", "ft_typesense_defaults", "ft_search_highlight",

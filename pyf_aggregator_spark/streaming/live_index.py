@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyf_aggregator_spark.index.incremental import (
-    _reconcile_pending,
+    _reconcile_pending_blocking,
     append_segments,
 )
 
@@ -66,7 +66,7 @@ def stream_append_to_index(
         # uncommitted batch back — losing it forever. Reconciling first
         # means a torn commit is undone here, the lineage is absent,
         # and the replayed batch re-applies.
-        _reconcile_pending(index_dir)
+        _reconcile_pending_blocking(index_dir)
         meta = spark.read.parquet(f"{index_dir}/meta")
         if meta.filter(F.col("lineage") == lineage).count() > 0:
             return  # completed by a previous attempt — exactly-once skip
@@ -120,7 +120,7 @@ def stream_upsert_multifield(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         lineage = f"stream-mf-{batch_id}"
-        _reconcile_pending(index_dir)
+        _reconcile_pending_blocking(index_dir)
         meta = spark.read.parquet(f"{index_dir}/meta")
         if meta.filter(F.col("lineage") == lineage).count() > 0:
             return  # completed by a previous attempt — exactly-once skip

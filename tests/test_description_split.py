@@ -103,14 +103,17 @@ def test_split_starts_with_text():
 
 def test_split_changelog_variants_full_match():
     for h in ["Changelog", "CHANGES", "Release Notes", "History",
-              "change log", "What's New", "Versions"]:
+              "What's New", "Versions"]:
         html = f"<h2>T</h2><p>fc</p><h2>{h}</h2><p>entries</p>"
         got = split_description_py(html)
         assert "entries" in got["changelog"], h
         assert "entries" not in got["main_content"], h
     # full-match only: 'Changelog Entries' / 'Changing the API' are NOT
-    # changelog headings (reference CHANGELOG_PATTERNS are ^...$)
-    for h in ["Changelog Entries", "Changing the API"]:
+    # changelog headings (reference CHANGELOG_PATTERNS are ^...$), and
+    # 'change log' / 'release note' miss the reference's exact
+    # patterns (changelog is one word; notes is plural-only)
+    for h in ["Changelog Entries", "Changing the API", "change log",
+              "Release Note"]:
         got = split_description_py(f"<h2>T</h2><p>fc</p><h2>{h}</h2><p>x</p>")
         assert got["changelog"] == "", h
 

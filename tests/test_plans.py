@@ -80,7 +80,7 @@ def test_filtered_search_no_forced_corpus_broadcast(spark, sf):
     corpus side (a constant corpus fraction — OOM at scale). With the
     auto-broadcast threshold disabled, a hint-free plan degrades to a
     shuffle join; a hinted plan would still show BroadcastExchange."""
-    from pyf_aggregator_spark.operators.fulltext_extra import ft_filtered_search
+    from pyf_aggregator_spark.operators.fulltext_extra import _filtered_df_engine
     from pyf_aggregator_spark.registry import documents_index
 
     # materialize the cached index so its build lineage (which has its
@@ -95,7 +95,7 @@ def test_filtered_search_no_forced_corpus_broadcast(spark, sf):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        df = ft_filtered_search(spark, sf)
+        df = _filtered_df_engine(spark, sf)
         plan = plan_of(df)
         # the final corpus join (scored ⋈ lang-filtered documents, the
         # node feeding the TakeOrdered) must be a shuffle join when

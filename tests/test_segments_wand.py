@@ -234,3 +234,53 @@ def test_docs_per_part_cap_bounds_task_memory(built, tmp_path, monkeypatch):
         ]
         want = oracle.topk(q["query"], k=q["k"], mode=q["mode"])
         assert got == [(d, s) for _, d, s in want], q
+
+
+def test_score_matches_equals_full_df_engine_set(built):
+    """wand_score_matches = the exact scored match set: every matching
+    doc, scores identical to the numpy oracle's full ranking."""
+    from pyf_aggregator_spark.search.wand import wand_score_matches
+
+    spark, docs, index_dir, stats, oracle = built
+    idx = load_index(spark, index_dir)
+    for q in reference_queries()[:3]:
+        got = {
+            r["doc_id"]: r["score"]
+            for r in wand_score_matches(
+                idx, q["query"], mode=q["mode"]
+            ).collect()
+        }
+        want = {
+            d: s for _, d, s in oracle.topk(
+                q["query"], k=10_000_000, mode=q["mode"]
+            )
+        }
+        assert set(got) == set(want), q
+        for d, s in got.items():
+            assert s == pytest.approx(want[d], rel=1e-6), q
+
+
+def test_score_matches_slots_equals_slot_topk_full(built):
+    """Slotted score-matches ≡ wand_topk_slots at k=∞ (same slot-max
+    scoring, same membership)."""
+    from pyf_aggregator_spark.search.wand import (
+        wand_score_matches,
+        wand_topk_slots,
+    )
+
+    spark, docs, index_dir, stats, oracle = built
+    idx = load_index(spark, index_dir)
+    slot_terms = [["w00000"], ["w00001", "w00002", "w00003"]]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in wand_score_matches(
+            idx, "", mode="and", slot_terms=slot_terms
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["score"]
+        for r in wand_topk_slots(
+            idx, slot_terms, k=10_000_000, mode="and"
+        ).collect()
+    }
+    assert got == want and len(got) > 0

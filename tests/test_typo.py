@@ -130,3 +130,34 @@ def test_correction_prefers_higher_df(spark, tmp_path):
     # colors (df 2, substitute z→s) → the higher-df term wins
     got = correct_terms(spark, d, ["colorz"], idx["term_stats"])
     assert got["colorz"] == "color"
+
+
+def test_typo_artifact_invalidated_on_upsert(spark, tmp_path):
+    """ADVICE r4: swapping term_stats (upsert_docs) must invalidate the
+    SymSpell deletion table, or corrections can never reach newly-added
+    vocabulary and rank by stale df until a full rebuild."""
+    import os
+
+    from pyf_aggregator_spark.index.incremental import upsert_docs
+    from pyf_aggregator_spark.search.typo import TYPO_DIR
+
+    d = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma")], "doc_id long, text string"
+    )
+    build_segments(docs, d, num_partitions=1, lineage="t")
+    idx = load_index(spark, d)
+    # build the artifact, then verify a future-vocab token fails now
+    got = correct_terms(spark, d, ["zephyrx"], idx["term_stats"])
+    assert got["zephyrx"] is None
+    assert os.path.isdir(f"{d}/{TYPO_DIR}")
+    # upsert introduces the new vocabulary word
+    upsert_docs(
+        spark, d,
+        spark.createDataFrame([(2, "zephyr zephyr")], "doc_id long, text string"),
+    )
+    # artifact was invalidated by the stats swap and self-heals
+    assert not os.path.isdir(f"{d}/{TYPO_DIR}")
+    idx2 = load_index(spark, d)
+    got2 = correct_terms(spark, d, ["zephyrx"], idx2["term_stats"])
+    assert got2["zephyrx"] == "zephyr"
