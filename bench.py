@@ -187,6 +187,17 @@ def main() -> None:
     )
     extras["queries_per_sec"] = len(bqs) / timings["wand_batch_200"]
 
+    # same 200-query batch with typo'd queries mixed in and num_typos=2:
+    # the whole batch pays ONE correct_terms join (all queries' unknown
+    # tokens batched), so the delta vs wand_batch_200 is the cost of
+    # batch-wide typo tolerance, not 200 per-query correction jobs
+    typo_qs = [dict(q) for q in bqs]
+    for i in range(0, len(typo_qs), 10):  # every 10th query misspelled
+        typo_qs[i]["query"] = typo_qs[i]["query"] + "x"
+    timings["wand_batch_200_typo"] = _min_of_n(
+        lambda: wand_topk_batch(idx, typo_qs, num_typos=2).collect()
+    )
+
     def _run_wand():
         for q in qs:
             wand_topk(idx, q["query"], k=q["k"], mode=q["mode"]).collect()
