@@ -380,24 +380,55 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
                 mf, weights, query, allowed=allowed,
                 mode=mode, slot_terms=slot_terms,
             )
-            grouped = grouped_from_scored(
+            g = grouped_from_scored(
                 scored, docs, group_by, limit, with_counts=True
-            ).collect()
+            )
         else:
-            grouped = grouped_search(
+            g = grouped_search(
                 spark, sf_dir, query, group_by, group_limit=limit,
                 allowed=allowed, mode=mode, slot_terms=slot_terms,
                 with_counts=True,
-            ).collect()
-        first = [r for r in grouped if r["rank_in_group"] == 1]
+            )
+        # groups × group_limit rows — persisted so the kernel pass and
+        # the group window run ONCE and the three small jobs below
+        # (totals, page of groups, page hits) reuse it. Typesense pages
+        # GROUPS when group_by is set, ordered by each group's best hit
+        # (text_match desc, group asc tie-break); every collect here is
+        # bounded by per_page × group_limit (+1 totals row) however
+        # many groups match — no all-groups collect at scale.
+        g = g.persist()
+        try:
+            first = g.filter(F.col("rank_in_group") == 1)
+            totals = first.agg(
+                F.coalesce(F.sum("group_found"), F.lit(0)).alias("docs"),
+                F.count("*").alias("groups"),
+            ).collect()[0]
+            page_first = (
+                first.orderBy(F.desc("score"), F.asc(group_by))
+                .limit(page * per_page)
+                .collect()
+            )[(page - 1) * per_page :]
+            page_groups = [r[group_by] for r in page_first]
+            if limit > 1 and page_groups:
+                page_rows = g.filter(
+                    F.col(group_by).isin(page_groups)
+                ).collect()
+            else:
+                page_rows = page_first
+        finally:
+            g.unpersist()
+        order = {gv: i for i, gv in enumerate(page_groups)}
         hits = []
-        for r in grouped:
+        for r in sorted(
+            page_rows,
+            key=lambda r: (order[r[group_by]], r["rank_in_group"]),
+        ):
             d = r.asDict()
             d.pop("group_found", None)
             hits.append(d)
         return {
-            "found": int(sum(r["group_found"] for r in first)),
-            "found_groups": len(first),
+            "found": int(totals["docs"]),
+            "found_groups": int(totals["groups"]),
             "page": page,
             "grouped_hits": hits,
         }

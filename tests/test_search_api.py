@@ -135,7 +135,11 @@ def test_search_grouped_respects_filter(spark, sf_dir):
         spark, sf_dir, "spark vector window", "lang", group_limit=2,
         allowed=allowed,
     ).collect()
-    assert [r.asDict() for r in direct] == filtered["grouped_hits"]
+    # same rows; the facade orders groups by best-hit score (Typesense
+    # grouped order), the engine API by group key — compare as sets
+    assert sorted(
+        map(tuple, (r.asDict().values() for r in direct))
+    ) == sorted(map(tuple, (h.values() for h in filtered["grouped_hits"])))
 
 
 def test_search_ranked_no_second_engine_and_exact_found(spark, sf_dir, monkeypatch):
@@ -578,3 +582,34 @@ def test_max_facet_values_caps_listed_values(spark, sf_dir):
     # default cap = 10 (Typesense default)
     dflt = search(spark, sf_dir, dict(base))
     assert len(dflt["facet_counts"][0]["counts"]) == 10
+
+
+def test_search_grouped_pages_groups_by_best_hit(spark, sf_dir):
+    """Typesense pages GROUPS when group_by is set, ordered by each
+    group's best hit; found/found_groups are independent of the page,
+    and every driver collect is bounded by per_page × group_limit."""
+    base = {"q": "spark vector", "group_by": "source", "group_limit": 2,
+            "num_typos": 0}
+    full = search(spark, sf_dir, dict(base, per_page=1000))
+    p1 = search(spark, sf_dir, dict(base, per_page=3))
+    p2 = search(spark, sf_dir, dict(base, per_page=3, page=2))
+    n_groups = full["found_groups"]
+    assert n_groups > 6  # sf0.001 has 20 sources
+    assert {r["source"] for r in p1["grouped_hits"]} == {
+        r["source"] for r in full["grouped_hits"][: len(p1["grouped_hits"])]
+    }
+    assert p1["grouped_hits"] == full["grouped_hits"][: len(p1["grouped_hits"])]
+    off = len(p1["grouped_hits"])
+    assert p2["grouped_hits"] == full["grouped_hits"][
+        off : off + len(p2["grouped_hits"])
+    ]
+    assert p1["found"] == p2["found"] == full["found"]
+    assert p1["found_groups"] == p2["found_groups"] == n_groups
+    # groups arrive best-hit-first
+    best = [
+        max(
+            (r["score"] for r in full["grouped_hits"] if r["source"] == g),
+        )
+        for g in dict.fromkeys(r["source"] for r in full["grouped_hits"])
+    ]
+    assert best == sorted(best, reverse=True)
