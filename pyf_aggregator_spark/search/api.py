@@ -43,6 +43,22 @@ applies silently) and returns a Typesense-shaped response dict:
     exclude_fields       comma list — drop these fields from returned
                          documents (applies after include_fields,
                          Typesense semantics; same scan pruning)
+    pinned_hits          "doc_id:pos,doc_id:pos" — curation: place
+                         these documents at the given 1-based result
+                         positions whether or not they match the query
+                         (non-matching pins bypass filter_by, as
+                         Typesense's filter_curated_hits=false default);
+                         pinned hits carry ``"curated": true`` and
+                         count toward ``found``; unknown doc_ids are
+                         ignored; positions past the result set compact
+                         to the end
+    hidden_hits          comma list of doc_ids to remove from results
+                         even when they match (``found`` excludes
+                         them); a doc in both lists is hidden.
+                         Both curation params apply to RANKED queries;
+                         combining them with q="*", sort_by or group_by
+                         raises ValueError (explicit, not silently
+                         different semantics)
 
 Response: {"found", "page", "hits": [{"document", "text_match"}],
 "facet_counts": [{"field_name", "counts": [{"value", "count"}]}],
@@ -145,6 +161,89 @@ def _sort_cols(sort_by: str, docs: DataFrame) -> list:
     return cols
 
 
+def _parse_pinned(s) -> dict[int, int]:
+    """'doc_id:pos,doc_id:pos' → {position: doc_id} (Typesense
+    pinned_hits grammar, 1-based positions)."""
+    out: dict[int, int] = {}
+    for part in str(s or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        m = re.match(r"^(\d+)\s*:\s*(\d+)$", part)
+        if not m:
+            raise ValueError(
+                f"pinned_hits entry must be 'doc_id:position': {part!r}"
+            )
+        did, pos = int(m.group(1)), int(m.group(2))
+        if pos < 1:
+            raise ValueError("pinned_hits positions are 1-based")
+        if pos in out:
+            raise ValueError(f"duplicate pinned_hits position: {pos}")
+        out[pos] = did
+    return out
+
+
+def _parse_hidden(s) -> set[int]:
+    out = set()
+    for part in str(s or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if not part.isdigit():
+            raise ValueError(f"hidden_hits entries are doc_ids: {part!r}")
+        out.add(int(part))
+    return out
+
+
+def _curate_rows(
+    all_rows, found: int, pinned: dict[int, int], hidden: set[int],
+    matched_ids: set[int], existing_ids: set[int], limit: int,
+):
+    """Merge the organic top rows with the curation lists into the
+    first ``limit`` result positions. Driver-side over ≤ k + |curated|
+    rows — the kernel already did the distributed work; this is pure
+    position algebra. Returns (rows, found) where each row dict carries
+    ``curated``=True for pinned placements."""
+    rows = [{"doc_id": r["doc_id"], "score": r["score"]} for r in all_rows]
+    # hidden wins over pinned; unknown pinned ids are ignored; a doc
+    # pinned at two positions keeps its lowest position
+    pins: dict[int, int] = {}
+    seen: set[int] = set()
+    for pos in sorted(pinned):
+        did = pinned[pos]
+        if did in hidden or did not in existing_ids or did in seen:
+            continue
+        pins[pos] = did
+        seen.add(did)
+    found -= sum(1 for d in hidden if d in matched_ids)
+    found += sum(1 for d in pins.values() if d not in matched_ids)
+    score_of = {r["doc_id"]: r["score"] for r in rows}
+    pin_ids = set(pins.values())
+    organic = [
+        r for r in rows
+        if r["doc_id"] not in hidden and r["doc_id"] not in pin_ids
+    ]
+    out, oi = [], 0
+    pos = 1
+    while len(out) < limit and (oi < len(organic) or pins):
+        if pos in pins:
+            did = pins.pop(pos)
+            out.append(
+                {"doc_id": did, "score": score_of.get(did), "curated": True}
+            )
+        elif oi < len(organic):
+            out.append(organic[oi])
+            oi += 1
+        else:
+            # organic exhausted — remaining pins compact to the end
+            did = pins.pop(min(pins))
+            out.append(
+                {"doc_id": did, "score": score_of.get(did), "curated": True}
+            )
+        pos += 1
+    return out, found
+
+
 def _apply_filters(docs: DataFrame, clauses) -> DataFrame:
     for field, vals, neg in clauses:
         col = F.col(field).cast("string")
@@ -178,6 +277,16 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     q = params.get("q", "*")
     page = int(params.get("page", 1))
     per_page = int(params.get("per_page", 10))
+    pinned = _parse_pinned(params.get("pinned_hits"))
+    hidden_ids = _parse_hidden(params.get("hidden_hits"))
+    if (pinned or hidden_ids) and (
+        q == "*" or not tokenize_py(q)
+        or params.get("sort_by") or params.get("group_by")
+    ):
+        raise ValueError(
+            "pinned_hits/hidden_hits apply to ranked queries only "
+            "(not q='*', sort_by or group_by)"
+        )
     clauses = parse_filter_by(params.get("filter_by"))
     max_facet_values = int(params.get("max_facet_values", 10))
     docs = load(spark, sf_dir, "documents")
@@ -433,7 +542,11 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             "grouped_hits": hits,
         }
 
-    k = page * per_page
+    # curation over-fetch: hidden docs in the top-k are skipped and
+    # pinned docs displace organics, so k grows by the curated-list
+    # size (user-provided, small) — still a bounded kernel top-k
+    n_curated = len(hidden_ids | set(pinned.values()))
+    k = page * per_page + n_curated
     drop_threshold = int(params.get("drop_tokens_threshold", 0))
     if mf is not None:
         from pyf_aggregator_spark.search.fallback import (
@@ -484,6 +597,39 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         all_rows, found = wand_topk_with_found(
             idx, query, k=k, mode=mode, allowed=allowed
         )
+    if pinned or hidden_ids:
+        # membership/existence of the curated ids, against the FINAL
+        # query (post typo/prefix/drop rewriting) under the same filter
+        # the kernel saw — two jobs bounded by the curated-list size
+        curated_ids = sorted(hidden_ids | set(pinned.values()))
+        tiny = spark.createDataFrame(
+            [(i,) for i in curated_ids], "doc_id long"
+        )
+        tiny_allowed = (
+            tiny.join(filtered_docs.select("doc_id"), "doc_id")
+            if clauses else tiny
+        )
+        if mf is not None:
+            m = wand_match_ids_multifield(
+                mf, sorted(weights), query, allowed=tiny_allowed,
+                mode=mode, slot_terms=slot_terms,
+            )
+        else:
+            m = wand_match_ids(
+                idx, query, mode=mode, allowed=tiny_allowed,
+                slot_terms=slot_terms,
+            )
+        matched_ids = {r["doc_id"] for r in m.collect()}
+        existing_ids = {
+            r["doc_id"]
+            for r in F.broadcast(tiny)
+            .join(docs.select("doc_id"), "doc_id")
+            .collect()
+        }
+        all_rows, found = _curate_rows(
+            all_rows, found, pinned, hidden_ids,
+            matched_ids, existing_ids, page * per_page,
+        )
     rows = all_rows[(page - 1) * per_page :]
 
     hit_ids = spark.createDataFrame(
@@ -511,7 +657,10 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     for r in rows:
         d = _doc_dict(dict(hydrated.get(r["doc_id"], {"doc_id": r["doc_id"]})))
         d.pop("score", None)
-        hits.append({"document": d, "text_match": r["score"]})
+        hit = {"document": d, "text_match": r["score"]}
+        if isinstance(r, dict) and r.get("curated"):
+            hit["curated"] = True
+        hits.append(hit)
     facet_counts = []
     if params.get("facet_by"):
         # hit-set facets need the match IDS, not just the count: one

@@ -613,3 +613,141 @@ def test_search_grouped_pages_groups_by_best_hit(spark, sf_dir):
         for g in dict.fromkeys(r["source"] for r in full["grouped_hits"])
     ]
     assert best == sorted(best, reverse=True)
+
+
+def test_search_hidden_hits(spark, sf_dir):
+    """hidden_hits removes a matching doc from hits AND from found;
+    the next organic hit fills its slot."""
+    base = search(spark, sf_dir,
+                  {"q": "spark vector", "per_page": 5, "num_typos": 0})
+    ids = [h["document"]["doc_id"] for h in base["hits"]]
+    res = search(spark, sf_dir,
+                 {"q": "spark vector", "per_page": 5, "num_typos": 0,
+                  "hidden_hits": str(ids[0])})
+    got = [h["document"]["doc_id"] for h in res["hits"]]
+    assert ids[0] not in got
+    assert got[:4] == ids[1:5]
+    assert res["found"] == base["found"] - 1
+
+
+def test_search_pinned_nonmatching_doc_bumps_found(spark, sf_dir):
+    """A pinned doc that does NOT match the query still appears at its
+    position (curated flag, null text_match) and counts toward found;
+    organics keep their order around the pin."""
+    from pyf_aggregator_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    outsider = docs.filter(
+        ~F.lower("text").contains("spark")
+        & ~F.lower("text").contains("vector")
+    ).select("doc_id").orderBy("doc_id").first()["doc_id"]
+    base = search(spark, sf_dir,
+                  {"q": "spark vector", "per_page": 5, "num_typos": 0})
+    ids = [h["document"]["doc_id"] for h in base["hits"]]
+    res = search(spark, sf_dir,
+                 {"q": "spark vector", "per_page": 5, "num_typos": 0,
+                  "pinned_hits": f"{outsider}:2"})
+    got = [h["document"]["doc_id"] for h in res["hits"]]
+    assert got[1] == outsider
+    assert res["hits"][1].get("curated") is True
+    assert res["hits"][1]["text_match"] is None
+    assert got[0] == ids[0] and got[2:] == ids[1:4]
+    assert res["found"] == base["found"] + 1
+
+
+def test_search_pinned_matching_doc_moves_not_duplicates(spark, sf_dir):
+    """Pinning a doc that already matches re-positions it (found
+    unchanged, score kept) without duplicating it."""
+    base = search(spark, sf_dir,
+                  {"q": "spark vector", "per_page": 5, "num_typos": 0})
+    ids = [h["document"]["doc_id"] for h in base["hits"]]
+    scores = {h["document"]["doc_id"]: h["text_match"] for h in base["hits"]}
+    res = search(spark, sf_dir,
+                 {"q": "spark vector", "per_page": 5, "num_typos": 0,
+                  "pinned_hits": f"{ids[2]}:1"})
+    got = [h["document"]["doc_id"] for h in res["hits"]]
+    assert got[0] == ids[2]
+    assert got.count(ids[2]) == 1
+    assert res["hits"][0]["text_match"] == scores[ids[2]]
+    assert res["hits"][0].get("curated") is True
+    assert got[1:] == [i for i in ids if i != ids[2]][:4]
+    assert res["found"] == base["found"]
+
+
+def test_search_hidden_wins_over_pinned_and_unknown_pin_ignored(
+    spark, sf_dir
+):
+    base = search(spark, sf_dir,
+                  {"q": "spark vector", "per_page": 5, "num_typos": 0})
+    ids = [h["document"]["doc_id"] for h in base["hits"]]
+    # same doc pinned AND hidden -> hidden wins
+    res = search(spark, sf_dir,
+                 {"q": "spark vector", "per_page": 5, "num_typos": 0,
+                  "pinned_hits": f"{ids[0]}:1",
+                  "hidden_hits": str(ids[0])})
+    got = [h["document"]["doc_id"] for h in res["hits"]]
+    assert ids[0] not in got
+    assert res["found"] == base["found"] - 1
+    # unknown pinned doc_id is ignored (Typesense behavior)
+    res2 = search(spark, sf_dir,
+                  {"q": "spark vector", "per_page": 5, "num_typos": 0,
+                   "pinned_hits": "999999999:1"})
+    assert [h["document"]["doc_id"] for h in res2["hits"]] == ids
+    assert res2["found"] == base["found"]
+
+
+def test_search_pinned_on_page2_global_positions(spark, sf_dir):
+    """Pinned positions are GLOBAL ranks: a pin at position 7 lands as
+    the second item of page 2 (per_page=5)."""
+    from pyf_aggregator_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    outsider = docs.filter(
+        ~F.lower("text").contains("spark")
+        & ~F.lower("text").contains("vector")
+    ).select("doc_id").orderBy("doc_id").first()["doc_id"]
+    base = search(spark, sf_dir,
+                  {"q": "spark vector", "per_page": 5, "page": 2,
+                   "num_typos": 0})
+    ids = [h["document"]["doc_id"] for h in base["hits"]]
+    res = search(spark, sf_dir,
+                 {"q": "spark vector", "per_page": 5, "page": 2,
+                  "num_typos": 0, "pinned_hits": f"{outsider}:7"})
+    got = [h["document"]["doc_id"] for h in res["hits"]]
+    assert got[1] == outsider
+    assert got[0] == ids[0] and got[2:] == ids[1:4]
+
+
+def test_search_curation_composes_with_query_by(spark, sf_dir):
+    """Curation rides the multifield path too (membership probe uses
+    the multifield match-ids kernel)."""
+    import pyf_aggregator_spark.operators.fulltext_extra as fx
+
+    qb = {"q": fx._5F_QUERY,
+          "query_by": "name,title,first_chapter,main_content,changelog",
+          "query_by_weights": "10,10,5,3,1",
+          "per_page": 5, "num_typos": 0}
+    base = search(spark, sf_dir, dict(qb))
+    ids = [h["document"]["doc_id"] for h in base["hits"]]
+    res = search(spark, sf_dir, dict(qb, hidden_hits=str(ids[0]),
+                                     pinned_hits=f"{ids[3]}:1"))
+    got = [h["document"]["doc_id"] for h in res["hits"]]
+    assert got[0] == ids[3] and ids[0] not in got
+    assert res["found"] == base["found"] - 1
+
+
+def test_search_curation_param_errors(spark, sf_dir):
+    with pytest.raises(ValueError, match="ranked queries only"):
+        search(spark, sf_dir, {"q": "*", "pinned_hits": "1:1"})
+    with pytest.raises(ValueError, match="ranked queries only"):
+        search(spark, sf_dir, {"q": "spark", "sort_by": "n_chars:desc",
+                               "hidden_hits": "1"})
+    with pytest.raises(ValueError, match="ranked queries only"):
+        search(spark, sf_dir, {"q": "spark", "group_by": "lang",
+                               "pinned_hits": "1:1"})
+    with pytest.raises(ValueError, match="doc_id:position"):
+        search(spark, sf_dir, {"q": "spark", "pinned_hits": "1"})
+    with pytest.raises(ValueError, match="duplicate pinned"):
+        search(spark, sf_dir, {"q": "spark", "pinned_hits": "1:1,2:1"})
+    with pytest.raises(ValueError, match="doc_ids"):
+        search(spark, sf_dir, {"q": "spark", "hidden_hits": "x"})
