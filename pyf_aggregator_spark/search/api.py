@@ -35,6 +35,16 @@ applies silently) and returns a Typesense-shaped response dict:
     prefix               last-token autocomplete (default False here;
                          Typesense defaults true)
     drop_tokens_threshold retry with dropped tokens when hits < N
+    infix                off|fallback|always (default off, Typesense's
+                         default) — within-word matching: a token
+                         expands against vocabulary words CONTAINING it
+                         (fallback: only tokens absent from the
+                         vocabulary; always: every token), each
+                         expansion set scoring as one slot (best
+                         matched word), composing with prefix on the
+                         last token; with infix on, an uncorrectable
+                         token is kept for infix matching instead of
+                         dropped
     highlight            attach <mark> highlights + snippets
     include_fields       comma list — project returned documents to
                          these fields (db.py:270,329,390); the
@@ -401,24 +411,67 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         typo_stats, typo_dir = idx["term_stats"], idx["dir"]
     terms = tokenize_py(q)
     num_typos = int(params.get("num_typos", 2))
+    infix_mode = str(params.get("infix", "off")).lower()
+    if infix_mode not in ("off", "fallback", "always"):
+        raise ValueError("infix must be one of off|fallback|always")
     if num_typos > 0:
         mapping = correct_terms(
             spark, typo_dir, terms, typo_stats, num_typos=num_typos
         )
-        # a failed correction contributes NOTHING (typo.correct_terms
-        # contract, matching wand_topk_typo): drop None-mapped terms.
-        # Only when EVERY term fails do we fall back to the original
-        # query (a zero-hit search, but a well-formed one).
-        corrected = [mapping[t] for t in terms if mapping.get(t) is not None]
+        if infix_mode == "off":
+            # a failed correction contributes NOTHING (typo.correct_terms
+            # contract, matching wand_topk_typo): drop None-mapped terms.
+            # Only when EVERY term fails do we fall back to the original
+            # query (a zero-hit search, but a well-formed one).
+            corrected = [
+                mapping[t] for t in terms if mapping.get(t) is not None
+            ]
+        else:
+            # with infix enabled an uncorrectable token is KEPT — it can
+            # still match as an infix of vocabulary words (correction
+            # takes precedence when it succeeds, Typesense order)
+            corrected = [mapping.get(t) or t for t in terms]
         terms = corrected or terms
     slot_terms = None
-    if params.get("prefix") and terms:
-        # Typesense scoring: the expansion set is ONE slot (the best
-        # completion scores; the prefix counts as one query token)
+    if terms and (params.get("prefix") or infix_mode != "off"):
+        # Typesense scoring: each expansion set is ONE slot (the best
+        # matched word scores; the token counts as one query token).
+        # prefix expands the LAST token against startswith; infix
+        # expands tokens against contains ("always": all tokens,
+        # "fallback": only tokens absent from the vocabulary).
+        from pyf_aggregator_spark.search.infix import expand_infix
+
         *fixed, last = terms
-        expansions = expand_prefix(typo_stats, last) or [last]
-        slot_terms = [[t] for t in dict.fromkeys(fixed)] + [expansions]
-        terms = sorted(set(fixed) | set(expansions))
+        fixed = list(dict.fromkeys(fixed))
+        known: set[str] = set()
+        if infix_mode == "fallback":
+            known = {
+                r["term"]
+                for r in typo_stats.filter(
+                    F.col("term").isin(sorted(set(terms)))
+                ).select("term").collect()
+            }
+
+        def _expand(t: str, is_last: bool) -> list[str]:
+            exp = [t]
+            if infix_mode == "always" or (
+                infix_mode == "fallback" and t not in known
+            ):
+                exp = list(dict.fromkeys(exp + expand_infix(typo_stats, t)))
+            if is_last and params.get("prefix"):
+                pexp = expand_prefix(typo_stats, t) or []
+                if infix_mode == "off":
+                    exp = pexp or [t]
+                else:
+                    exp = list(dict.fromkeys(exp + pexp))
+            return exp
+
+        slots = [_expand(t, False) for t in fixed] + [_expand(last, True)]
+        if params.get("prefix") or any(len(s) > 1 for s in slots):
+            slot_terms = slots
+            terms = sorted({t for s in slots for t in s})
+        # else: infix changed nothing (every token known, fallback mode)
+        # — stay on the plain path so the drop_tokens cascade still runs
     query = " ".join(terms)
     mode = params.get("mode", "or")
     allowed = (

@@ -751,3 +751,107 @@ def test_search_curation_param_errors(spark, sf_dir):
         search(spark, sf_dir, {"q": "spark", "pinned_hits": "1:1,2:1"})
     with pytest.raises(ValueError, match="doc_ids"):
         search(spark, sf_dir, {"q": "spark", "hidden_hits": "x"})
+
+
+def _infix_probe(spark, sf_dir):
+    """A (substring, containing-vocab-terms) pair from the sf vocab:
+    substring of a frequent long term that is NOT itself a term."""
+    from pyf_aggregator_spark.operators.fulltext_extra import (
+        documents_segment_index,
+    )
+
+    idx = documents_segment_index(spark, sf_dir)
+    vocab = {
+        r["term"]
+        for r in idx["term_stats"].select("term").collect()
+    }
+    for r in (
+        idx["term_stats"].filter(F.length("term") >= 6)
+        .orderBy(F.desc("df"), F.asc("term")).limit(20).collect()
+    ):
+        sub = r["term"][1:-1]
+        if len(sub) >= 4 and sub not in vocab:
+            return idx, sub
+    raise AssertionError("no infix probe found in sf vocab")
+
+
+def test_search_infix_fallback_expands_unknown_token(spark, sf_dir):
+    """infix=fallback: a token absent from the vocabulary expands to
+    the words containing it, scored as one slot — rank-identical to the
+    directly-invoked slotted kernel."""
+    from pyf_aggregator_spark.search.infix import expand_infix
+    from pyf_aggregator_spark.search.wand import wand_topk_slots
+
+    idx, sub = _infix_probe(spark, sf_dir)
+    exp = expand_infix(idx["term_stats"], sub)
+    assert exp  # the probe substring matches vocabulary words
+    res = search(spark, sf_dir,
+                 {"q": sub, "per_page": 5, "num_typos": 0,
+                  "infix": "fallback"})
+    direct = wand_topk_slots(
+        idx, [list(dict.fromkeys([sub] + exp))], k=5
+    ).collect()
+    assert [
+        (h["document"]["doc_id"], h["text_match"]) for h in res["hits"]
+    ] == [(r["doc_id"], r["score"]) for r in direct]
+    assert res["found"] >= len(res["hits"]) > 0
+    # infix off: the unknown token matches nothing
+    off = search(spark, sf_dir,
+                 {"q": sub, "per_page": 5, "num_typos": 0})
+    assert off["found"] == 0
+
+
+def test_search_infix_fallback_noop_when_terms_known(spark, sf_dir):
+    """fallback leaves known tokens exact — identical answer to
+    infix=off (and the plain path, so drop_tokens still applies)."""
+    base = search(spark, sf_dir,
+                  {"q": "spark vector", "per_page": 5, "num_typos": 0})
+    fb = search(spark, sf_dir,
+                {"q": "spark vector", "per_page": 5, "num_typos": 0,
+                 "infix": "fallback"})
+    assert [
+        (h["document"]["doc_id"], h["text_match"]) for h in base["hits"]
+    ] == [(h["document"]["doc_id"], h["text_match"]) for h in fb["hits"]]
+    assert base["found"] == fb["found"]
+
+
+def test_search_infix_always_expands_known_token(spark, sf_dir):
+    """infix=always: every token expands (exact postings ride in the
+    same slot) — agrees with the directly-built slots."""
+    from pyf_aggregator_spark.search.infix import expand_infix
+    from pyf_aggregator_spark.search.wand import wand_topk_slots
+
+    from pyf_aggregator_spark.operators.fulltext_extra import (
+        documents_segment_index,
+    )
+
+    idx = documents_segment_index(spark, sf_dir)
+    slots = [
+        list(dict.fromkeys([t] + expand_infix(idx["term_stats"], t)))
+        for t in ["spark", "vector"]
+    ]
+    res = search(spark, sf_dir,
+                 {"q": "spark vector", "per_page": 5, "num_typos": 0,
+                  "infix": "always"})
+    direct = wand_topk_slots(idx, slots, k=5).collect()
+    assert [
+        (h["document"]["doc_id"], h["text_match"]) for h in res["hits"]
+    ] == [(r["doc_id"], r["score"]) for r in direct]
+
+
+def test_search_infix_typo_correction_takes_precedence(spark, sf_dir):
+    """With num_typos on, a correctable token corrects FIRST (Typesense
+    order); infix only handles what correction can't reach."""
+    cor = search(spark, sf_dir,
+                 {"q": "spak vector", "per_page": 5, "num_typos": 2,
+                  "infix": "fallback"})
+    plain = search(spark, sf_dir,
+                   {"q": "spark vector", "per_page": 5, "num_typos": 0})
+    assert [h["document"]["doc_id"] for h in cor["hits"]] == [
+        h["document"]["doc_id"] for h in plain["hits"]
+    ]
+
+
+def test_search_infix_param_validation(spark, sf_dir):
+    with pytest.raises(ValueError, match="infix must be"):
+        search(spark, sf_dir, {"q": "spark", "infix": "sometimes"})
