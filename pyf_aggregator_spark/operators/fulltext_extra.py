@@ -396,6 +396,7 @@ _TS_PHRASE_Q = "spark vector"       # adjacency-verified phrase
 _TS_TYPO_Q = "custoemr vectr"       # distance-2 + distance-1 typos
 _TS_DROP_Q = "spark vector qqqzzz"  # unknown tail token → dropped
 _TS_PREFIX_Q = "vector s"           # 6 completions → slot-max visible
+_TS_INFIX_Q = "ro"                  # within-word: {row, group} slot
 _TS_K = 20
 
 
@@ -407,6 +408,7 @@ def _typesense_defaults_sql() -> str:
         "typo": osql.typo_topk_sql(_TS_TYPO_Q, _TS_K),
         "drop": osql.drop_tokens_topk_sql(_TS_DROP_Q, _TS_K),
         "prefix": osql.prefix_topk_sql(_TS_PREFIX_Q, _TS_K),
+        "infix": osql.infix_topk_sql(_TS_INFIX_Q, _TS_K),
     }
     parts = [
         f"SELECT '{name}' AS behavior, doc_id, score FROM ({sql.strip()})"
@@ -433,8 +435,13 @@ def ft_typesense_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
       single-completion scoring — the expansion set is one kernel SLOT,
       each doc scores its BEST completion (search/prefix.py +
       wand_topk_slots; the oracle replays expansion + slot-max from
-      dfreq independently)."""
+      dfreq independently);
+    - ``infix``: within-word matching (Typesense infix) — the token
+      expands to the vocabulary words CONTAINING it, one slot, per-doc
+      best word (search/infix.py; the oracle replays the LIKE
+      expansion + slot-max from dfreq independently)."""
     from pyf_aggregator_spark.search.fallback import wand_topk_drop_tokens
+    from pyf_aggregator_spark.search.infix import wand_topk_infix
     from pyf_aggregator_spark.search.phrase import phrase_topk
     from pyf_aggregator_spark.search.prefix import wand_topk_prefix
     from pyf_aggregator_spark.search.typo import wand_topk_typo
@@ -453,10 +460,14 @@ def ft_typesense_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = wand_topk_prefix(idx, _TS_PREFIX_Q, k=_TS_K, mode="or").select(
         F.lit("prefix").alias("behavior"), "doc_id", "score"
     )
+    infix = wand_topk_infix(idx, _TS_INFIX_Q, k=_TS_K, mode="or").select(
+        F.lit("infix").alias("behavior"), "doc_id", "score"
+    )
     return (
         phrase.unionByName(typo)
         .unionByName(drop)
         .unionByName(prefix)
+        .unionByName(infix)
         .orderBy("behavior", F.desc("score"), F.asc("doc_id"))
     )
 

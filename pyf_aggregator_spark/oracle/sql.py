@@ -521,6 +521,42 @@ LIMIT {k}
 """
 
 
+def infix_topk_sql(query: str, k: int = 10, max_expansions: int = 50) -> str:
+    """Infix oracle (single-token probe): the token expands against
+    the vocabulary words CONTAINING it (df-ranked, capped — replayed
+    here from dfreq with a LIKE '%tok%' scan, independently of the
+    engine's expansion), and the expansion set scores each doc's BEST
+    matched word (MAX), mirroring search/infix.py + wand_topk_slots'
+    single-slot scoring."""
+    toks = tokenize_py(query)
+    assert len(toks) == 1, "infix oracle grades a single-token probe"
+    tok = toks[0].replace("'", "''")
+    return f"""
+WITH {TOKENS_CTE},
+exp AS (
+  SELECT term FROM dfreq
+  WHERE term LIKE '%{tok}%'
+  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+per AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / c.avgdl))
+         AS contrib
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+  WHERE tf.term IN (SELECT term FROM exp)
+),
+agg AS (SELECT doc_id, max(contrib) AS raw_score FROM per GROUP BY doc_id)
+SELECT doc_id, round(raw_score, {SCORE_DECIMALS}) AS score
+FROM agg
+ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def highlight_topk_sql(query: str, k: int = 10, context: int = 30) -> str:
     """BM25 top-k + Typesense-style highlight/snippet columns,
     mirroring search/highlight.py exactly. The Spark side marks every

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyf_aggregator_spark.functions.tokenize import tokenize_py
 from pyf_aggregator_spark.search.prefix import MAX_EXPANSIONS
 
 
@@ -45,3 +46,36 @@ def expand_infix(
         .collect()
     )
     return [r["term"] for r in rows]
+
+
+def infix_slot_terms(
+    idx: dict, query: str, max_expansions: int = MAX_EXPANSIONS
+) -> list[list[str]]:
+    """query → slot groups, infix=always semantics: every token's
+    expansion set (the token itself first, then the df-ranked words
+    containing it) is one shared slot."""
+    return [
+        list(
+            dict.fromkeys(
+                [t] + expand_infix(idx["term_stats"], t, max_expansions)
+            )
+        )
+        for t in dict.fromkeys(tokenize_py(query))
+    ]
+
+
+def wand_topk_infix(
+    idx: dict, query: str, k: int = 10, mode: str = "or",
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """Infix top-k: each token expands to the vocabulary words
+    containing it and scores as one slot (per-doc max over the matched
+    words) — the engine behind the facade's infix param and the graded
+    ``ft_typesense_defaults`` infix branch."""
+    from pyf_aggregator_spark.search.wand import wand_topk_slots
+
+    spark = idx["segments"].sparkSession
+    slot_terms = infix_slot_terms(idx, query, max_expansions)
+    if not slot_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return wand_topk_slots(idx, slot_terms, k=k, mode=mode)

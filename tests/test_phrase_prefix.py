@@ -209,3 +209,42 @@ def test_highlight_and_snippet(spark):
     assert "<mark>" in got[0]["snippet"] or "Spark" in got[0]["snippet"]
     assert got[1]["highlight"] == "nothing relevant here"
     assert got[1]["snippet"] == ""
+
+
+def test_expand_infix_contains_and_order(prefix_idx):
+    from pyf_aggregator_spark.search.infix import expand_infix
+
+    _, idx = prefix_idx
+    got = expand_infix(idx["term_stats"], "lon")
+    # most frequent containing word first, contains ≠ startswith
+    assert got[0] == "plone"
+    assert set(got) == {"plone", "plonetheme", "plon"}
+    assert expand_infix(idx["term_stats"], "heme") == ["plonetheme"]
+    assert expand_infix(idx["term_stats"], "zzz") == []
+
+
+def test_infix_search_scores_best_word(prefix_idx):
+    """The infix expansion set is one slot: each doc scores its BEST
+    matched word (max), not the sum over all words containing the
+    token — same Typesense-reconciled semantics as prefix."""
+    from pyf_aggregator_spark.oracle.bm25 import NumpyBM25
+    from pyf_aggregator_spark.search.infix import wand_topk_infix
+    from pyf_aggregator_spark.search.wand import _rnd
+
+    spark, idx = prefix_idx
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk_infix(idx, "lon", k=10).collect()
+    ]
+    ref = NumpyBM25.fit(PREFIX_ROWS)
+    exps = ["plone", "plonetheme", "plon"]
+    expected = []
+    for d in ref.doc_ids:
+        best = max(_bm25_contrib(ref, e, d) for e in exps)
+        if best > 0.0:
+            expected.append((d, float(_rnd(best))))
+    expected.sort(key=lambda x: (-x[1], x[0]))
+    assert got == expected[:10]
+    ids = [d for d, _ in got]
+    # the theme-only doc and the rare exact-'plon' doc both surface
+    assert 1 in ids and 2 in ids
