@@ -400,6 +400,42 @@ _TS_INFIX_Q = "ro"                  # within-word: {row, group} slot
 _TS_K = 20
 
 
+def _ts_curation_sql() -> str:
+    """SQL replay of the facade's pinned/hidden curation over the
+    'spark vector' top-k: hide the #1 ranked hit, pin the #5 hit to
+    position 1 and a NON-matching doc (the lowest doc_id containing
+    neither query token — it can't be in the ranked set) to position 3;
+    organics fill the remaining positions in rank order (org #1 → pos
+    2, org #n → pos n+2). The splice itself is derived here with rank
+    arithmetic, independently of the facade's position algebra."""
+    topk = osql.bm25_topk_sql(_TS_PHRASE_Q, _TS_K + 3)
+    return f"""
+SELECT 'curation' AS behavior, position, doc_id, score FROM (
+  WITH topk AS ({topk.strip()}),
+  ranked AS (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM topk
+  ),
+  outsider AS (
+    SELECT min(doc_id) AS doc_id FROM documents
+    WHERE lower(text) NOT LIKE '%spark%'
+      AND lower(text) NOT LIKE '%vector%'
+  ),
+  organic AS (
+    SELECT doc_id, score, row_number() OVER (ORDER BY rn ASC) AS org_rn
+    FROM ranked WHERE rn <> 1 AND rn <> 5
+  )
+  SELECT 1 AS position, doc_id, score FROM ranked WHERE rn = 5
+  UNION ALL
+  SELECT 3 AS position, doc_id, NULL AS score FROM outsider
+  UNION ALL
+  SELECT CASE WHEN org_rn = 1 THEN 2 ELSE org_rn + 2 END AS position,
+         doc_id, score
+  FROM organic WHERE org_rn <= {_TS_K} - 2
+)"""
+
+
 def _typesense_defaults_sql() -> str:
     from pyf_aggregator_spark.search.phrase import phrase_oracle_sql
 
@@ -410,13 +446,18 @@ def _typesense_defaults_sql() -> str:
         "prefix": osql.prefix_topk_sql(_TS_PREFIX_Q, _TS_K),
         "infix": osql.infix_topk_sql(_TS_INFIX_Q, _TS_K),
     }
+    # position makes ORDER part of the hash for every behavior (the
+    # driver's compare is order-insensitive, so rank must be a column)
     parts = [
-        f"SELECT '{name}' AS behavior, doc_id, score FROM ({sql.strip()})"
+        f"""SELECT '{name}' AS behavior,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS position,
+       doc_id, score FROM ({sql.strip()})"""
         for name, sql in blocks.items()
     ]
+    parts.append(_ts_curation_sql().strip())
     return (
         "\n    UNION ALL ".join(parts)
-        + "\n    ORDER BY behavior, score DESC, doc_id ASC"
+        + "\n    ORDER BY behavior, position"
     )
 
 
@@ -439,36 +480,87 @@ def ft_typesense_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``infix``: within-word matching (Typesense infix) — the token
       expands to the vocabulary words CONTAINING it, one slot, per-doc
       best word (search/infix.py; the oracle replays the LIKE
-      expansion + slot-max from dfreq independently)."""
+      expansion + slot-max from dfreq independently);
+    - ``curation``: pinned_hits/hidden_hits through the REAL facade —
+      hide the #1 hit, pin the #5 hit to position 1 and a non-matching
+      doc to position 3; the graded ``position`` column makes the
+      splice (and every branch's rank order) part of the value hash
+      (the oracle derives the splice with independent rank
+      arithmetic)."""
+    from pyspark.sql import Window
+
+    from pyf_aggregator_spark.search.api import search as facade_search
     from pyf_aggregator_spark.search.fallback import wand_topk_drop_tokens
     from pyf_aggregator_spark.search.infix import wand_topk_infix
     from pyf_aggregator_spark.search.phrase import phrase_topk
     from pyf_aggregator_spark.search.prefix import wand_topk_prefix
     from pyf_aggregator_spark.search.typo import wand_topk_typo
 
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+
+    def _branch(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("behavior"),
+            F.row_number().over(w).alias("position"),
+            "doc_id",
+            "score",
+        )
+
     idx = documents_segment_index(spark, sf_dir)
-    phrase = phrase_topk(
-        documents_index(spark, sf_dir), _TS_PHRASE_Q, k=_TS_K
-    ).select(F.lit("phrase").alias("behavior"), "doc_id", "score")
-    typo = wand_topk_typo(idx, _TS_TYPO_Q, k=_TS_K, mode="or").select(
-        F.lit("typo").alias("behavior"), "doc_id", "score"
+    phrase = _branch(
+        phrase_topk(documents_index(spark, sf_dir), _TS_PHRASE_Q, k=_TS_K),
+        "phrase",
+    )
+    typo = _branch(
+        wand_topk_typo(idx, _TS_TYPO_Q, k=_TS_K, mode="or"), "typo"
     )
     dropped, _used = wand_topk_drop_tokens(
         idx, _TS_DROP_Q, k=_TS_K, mode="and", threshold=1
     )
-    drop = dropped.select(F.lit("drop").alias("behavior"), "doc_id", "score")
-    prefix = wand_topk_prefix(idx, _TS_PREFIX_Q, k=_TS_K, mode="or").select(
-        F.lit("prefix").alias("behavior"), "doc_id", "score"
+    drop = _branch(dropped, "drop")
+    prefix = _branch(
+        wand_topk_prefix(idx, _TS_PREFIX_Q, k=_TS_K, mode="or"), "prefix"
     )
-    infix = wand_topk_infix(idx, _TS_INFIX_Q, k=_TS_K, mode="or").select(
-        F.lit("infix").alias("behavior"), "doc_id", "score"
+    infix = _branch(
+        wand_topk_infix(idx, _TS_INFIX_Q, k=_TS_K, mode="or"), "infix"
+    )
+
+    # curation drives the facade itself end-to-end: choices derived
+    # from the data (top-1 hidden, top-5 pinned first, lowest
+    # non-matching doc pinned third) so both sides stay deterministic
+    # at every SF without hard-coded doc ids
+    base = facade_search(
+        spark, sf_dir,
+        {"q": _TS_PHRASE_Q, "per_page": _TS_K, "num_typos": 0},
+    )
+    top = [h["document"]["doc_id"] for h in base["hits"]]
+    docs = load(spark, sf_dir, "documents")
+    outsider = docs.filter(
+        ~F.lower(F.col("text")).contains("spark")
+        & ~F.lower(F.col("text")).contains("vector")
+    ).agg(F.min("doc_id").alias("m")).collect()[0]["m"]
+    cur = facade_search(
+        spark, sf_dir,
+        {"q": _TS_PHRASE_Q, "per_page": _TS_K, "num_typos": 0,
+         "hidden_hits": str(top[0]),
+         "pinned_hits": f"{top[4]}:1,{outsider}:3"},
+    )
+    curation = spark.createDataFrame(
+        [
+            (i + 1, h["document"]["doc_id"], h["text_match"])
+            for i, h in enumerate(cur["hits"])
+        ],
+        "position int, doc_id long, score double",
+    ).select(
+        F.lit("curation").alias("behavior"), "position", "doc_id", "score"
     )
     return (
         phrase.unionByName(typo)
         .unionByName(drop)
         .unionByName(prefix)
         .unionByName(infix)
-        .orderBy("behavior", F.desc("score"), F.asc("doc_id"))
+        .unionByName(curation)
+        .orderBy("behavior", "position")
     )
 
 
