@@ -108,6 +108,15 @@ def main() -> None:
     se.add_argument("--include-fields", default=None)
     se.add_argument("--exclude-fields", default=None)
     se.add_argument("--facet-query", default=None)
+    se.add_argument("--mode", default="or", choices=["or", "and"])
+    se.add_argument("--drop-tokens-threshold", type=int, default=0)
+    se.add_argument("--max-facet-values", type=int, default=10)
+    se.add_argument("--infix", default="off",
+                    choices=["off", "fallback", "always"])
+    se.add_argument("--pinned-hits", default=None,
+                    help="'doc_id:pos,...' curation")
+    se.add_argument("--hidden-hits", default=None,
+                    help="comma list of doc_ids to hide")
 
     args = ap.parse_args()
 
@@ -269,6 +278,12 @@ def main() -> None:
             "include_fields": args.include_fields,
             "exclude_fields": args.exclude_fields,
             "facet_query": args.facet_query,
+            "mode": args.mode,
+            "drop_tokens_threshold": args.drop_tokens_threshold,
+            "max_facet_values": args.max_facet_values,
+            "infix": args.infix,
+            "pinned_hits": args.pinned_hits,
+            "hidden_hits": args.hidden_hits,
         }
         out = {
             "cmd": "search",

@@ -58,3 +58,27 @@ def test_cli_search_endpoint():
     assert len(res["hits"]) == 3
     assert all(h["document"]["lang"] == "en" for h in res["hits"])
     assert res["facet_counts"][0]["field_name"] == "lang"
+
+
+def test_cli_search_curation_and_infix():
+    base = run_cli(
+        "search", "--sf-dir", "/root/testdata/sf0.001",
+        "--q", "spark vector", "--per-page", "3", "--num-typos", "0",
+    )
+    top = [h["document"]["doc_id"] for h in base["hits"]]
+    res = run_cli(
+        "search", "--sf-dir", "/root/testdata/sf0.001",
+        "--q", "spark vector", "--per-page", "3", "--num-typos", "0",
+        "--hidden-hits", str(top[0]),
+        "--pinned-hits", f"{top[2]}:1",
+    )
+    got = [h["document"]["doc_id"] for h in res["hits"]]
+    assert got[0] == top[2] and top[0] not in got
+    assert res["hits"][0].get("curated") is True
+    # infix through the CLI: a within-word token finds hits
+    inf = run_cli(
+        "search", "--sf-dir", "/root/testdata/sf0.001",
+        "--q", "ecto", "--per-page", "3", "--num-typos", "0",
+        "--infix", "fallback",
+    )
+    assert inf["found"] > 0 and len(inf["hits"]) == 3
