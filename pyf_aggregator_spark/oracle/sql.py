@@ -255,8 +255,10 @@ def prefix_multifield_sql(
     mid = f"""
 {_mf_vocab_cte(len(fields))},
 exp AS (
+  -- no fixed-token exclusion: mirrors the engine's raw expansion +
+  -- kernel multi-membership (a shared term counts in both slots)
   SELECT term FROM mfvocab
-  WHERE term LIKE '{pre}%' AND term NOT IN ({fixed_in})
+  WHERE term LIKE '{pre}%'
   ORDER BY df DESC, term ASC LIMIT {max_expansions}
 ),
 qterms AS (
@@ -492,8 +494,12 @@ def prefix_topk_sql(query: str, k: int = 10, max_expansions: int = 50) -> str:
     return f"""
 WITH {TOKENS_CTE},
 exp AS (
+  -- the engine expands against the raw vocabulary (expand_prefix has
+  -- no fixed-token exclusion): a fixed token that is also a completion
+  -- belongs to BOTH slots (kernel multi-membership) — it contributes
+  -- to the fixed sum AND competes in the expansion max
   SELECT term FROM dfreq
-  WHERE term LIKE '{pre}%' AND term NOT IN ({fixed_in})
+  WHERE term LIKE '{pre}%'
   ORDER BY df DESC, term ASC LIMIT {max_expansions}
 ),
 per AS (
@@ -510,7 +516,8 @@ per AS (
 agg AS (
   SELECT doc_id,
          coalesce(sum(CASE WHEN term IN ({fixed_in}) THEN contrib END), 0)
-         + coalesce(max(CASE WHEN term NOT IN ({fixed_in}) THEN contrib END), 0)
+         + coalesce(max(CASE WHEN term IN (SELECT term FROM exp)
+                         THEN contrib END), 0)
          AS raw_score
   FROM per GROUP BY doc_id
 )
@@ -534,9 +541,16 @@ def infix_topk_sql(query: str, k: int = 10, max_expansions: int = 50) -> str:
     return f"""
 WITH {TOKENS_CTE},
 exp AS (
-  SELECT term FROM dfreq
-  WHERE term LIKE '%{tok}%'
-  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+  -- the engine always keeps the probed token itself in the slot
+  -- (search/infix.py prepends it before the df-ranked cap), so a
+  -- vocabulary token ranked below the cap still matches exactly
+  SELECT term FROM (
+    SELECT term FROM dfreq
+    WHERE term LIKE '%{tok}%'
+    ORDER BY df DESC, term ASC LIMIT {max_expansions}
+  )
+  UNION
+  SELECT term FROM dfreq WHERE term = '{tok}'
 ),
 per AS (
   SELECT tf.doc_id,

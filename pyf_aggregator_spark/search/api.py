@@ -207,13 +207,16 @@ def _parse_hidden(s) -> set[int]:
 
 def _curate_rows(
     all_rows, found: int, pinned: dict[int, int], hidden: set[int],
-    matched_ids: set[int], existing_ids: set[int], limit: int,
+    curated_scores: dict[int, float], existing_ids: set[int], limit: int,
 ):
     """Merge the organic top rows with the curation lists into the
     first ``limit`` result positions. Driver-side over ≤ k + |curated|
     rows — the kernel already did the distributed work; this is pure
-    position algebra. Returns (rows, found) where each row dict carries
-    ``curated``=True for pinned placements."""
+    position algebra. ``curated_scores`` maps each curated id that
+    MATCHES the query to its exact score (the probe kernel's answer):
+    membership check and text_match fallback for pins ranked below the
+    over-fetch in one. Returns (rows, found) where each row dict
+    carries ``curated``=True for pinned placements."""
     rows = [{"doc_id": r["doc_id"], "score": r["score"]} for r in all_rows]
     # hidden wins over pinned; unknown pinned ids are ignored; a doc
     # pinned at two positions keeps its lowest position
@@ -225,9 +228,12 @@ def _curate_rows(
             continue
         pins[pos] = did
         seen.add(did)
+    matched_ids = set(curated_scores)
     found -= sum(1 for d in hidden if d in matched_ids)
     found += sum(1 for d in pins.values() if d not in matched_ids)
     score_of = {r["doc_id"]: r["score"] for r in rows}
+    for did, sc in curated_scores.items():
+        score_of.setdefault(did, sc)
     pin_ids = set(pins.values())
     organic = [
         r for r in rows
@@ -572,9 +578,17 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             )[(page - 1) * per_page :]
             page_groups = [r[group_by] for r in page_first]
             if limit > 1 and page_groups:
-                page_rows = g.filter(
-                    F.col(group_by).isin(page_groups)
-                ).collect()
+                # NULL is a legitimate group (Typesense groups null
+                # values together): isin alone is 3VL-NULL and would
+                # silently drop the null group's rows from its page
+                non_null = [gv for gv in page_groups if gv is not None]
+                cond = (
+                    F.col(group_by).isin(non_null)
+                    if non_null else F.lit(False)
+                )
+                if any(gv is None for gv in page_groups):
+                    cond = cond | F.col(group_by).isNull()
+                page_rows = g.filter(cond).collect()
             else:
                 page_rows = page_first
         finally:
@@ -589,7 +603,12 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             d.pop("group_found", None)
             hits.append(d)
         return {
+            # "found" = match-set size (documents); newer Typesense
+            # (0.25+) names the document total "found_docs" and reports
+            # the group count as "found" — both spellings are included
+            # so either client reading works
             "found": int(totals["docs"]),
+            "found_docs": int(totals["docs"]),
             "found_groups": int(totals["groups"]),
             "page": page,
             "grouped_hits": hits,
@@ -651,9 +670,12 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             idx, query, k=k, mode=mode, allowed=allowed
         )
     if pinned or hidden_ids:
-        # membership/existence of the curated ids, against the FINAL
-        # query (post typo/prefix/drop rewriting) under the same filter
-        # the kernel saw — two jobs bounded by the curated-list size
+        # membership + score + existence of the curated ids, against
+        # the FINAL query (post typo/prefix/drop rewriting) under the
+        # same filter the kernel saw — two jobs bounded by the
+        # curated-list size. Scores ride along (score-matches kernel,
+        # not just match-ids) so a MATCHING pinned doc that ranks below
+        # the top-k over-fetch still reports its true text_match.
         curated_ids = sorted(hidden_ids | set(pinned.values()))
         tiny = spark.createDataFrame(
             [(i,) for i in curated_ids], "doc_id long"
@@ -663,16 +685,22 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             if clauses else tiny
         )
         if mf is not None:
-            m = wand_match_ids_multifield(
-                mf, sorted(weights), query, allowed=tiny_allowed,
+            from pyf_aggregator_spark.search.wand import (
+                wand_score_matches_multifield,
+            )
+
+            m = wand_score_matches_multifield(
+                mf, weights, query, allowed=tiny_allowed,
                 mode=mode, slot_terms=slot_terms,
             )
         else:
-            m = wand_match_ids(
+            from pyf_aggregator_spark.search.wand import wand_score_matches
+
+            m = wand_score_matches(
                 idx, query, mode=mode, allowed=tiny_allowed,
                 slot_terms=slot_terms,
             )
-        matched_ids = {r["doc_id"] for r in m.collect()}
+        curated_scores = {r["doc_id"]: r["score"] for r in m.collect()}
         existing_ids = {
             r["doc_id"]
             for r in F.broadcast(tiny)
@@ -681,7 +709,7 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         }
         all_rows, found = _curate_rows(
             all_rows, found, pinned, hidden_ids,
-            matched_ids, existing_ids, page * per_page,
+            curated_scores, existing_ids, page * per_page,
         )
     rows = all_rows[(page - 1) * per_page :]
 

@@ -102,9 +102,19 @@ def build_deletion_table(term_stats: DataFrame) -> DataFrame:
 
 
 def write_deletion_table(term_stats: DataFrame, index_dir: str) -> None:
-    build_deletion_table(term_stats).write.mode("overwrite").parquet(
-        f"{index_dir}/{TYPO_DIR}"
-    )
+    """Staged write + rename: a crashed build leaves only the .staged
+    dir (cleaned on the next attempt), so an EXISTING artifact dir is
+    always a complete one — the build-on-first-use existence check in
+    correct_terms can trust it."""
+    import os
+    import shutil
+
+    staged = f"{index_dir}/{TYPO_DIR}.staged"
+    final = f"{index_dir}/{TYPO_DIR}"
+    shutil.rmtree(staged, ignore_errors=True)
+    build_deletion_table(term_stats).write.mode("overwrite").parquet(staged)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(staged, final)
 
 
 def correct_terms(
@@ -146,8 +156,22 @@ def correct_terms(
         # build-on-first-use: the artifact is derivable from term_stats
         # alone, so an index built before the typo layer existed (or
         # whose artifact predates the depth-2 upgrade, or a path that
-        # skipped it) self-heals here
-        write_deletion_table(term_stats, index_dir)
+        # skipped it) self-heals here. The build runs under the
+        # BLOCKING commit lock so it can't interleave with an upsert's
+        # term_stats swap + invalidation (a stale builder finishing
+        # after the rmtree would otherwise pin pre-upsert vocabulary
+        # until the next swap); the re-check under the lock also stops
+        # two concurrent readers from racing overwrites into one path.
+        try:
+            from pyf_aggregator_spark.index.incremental import _commit_lock
+
+            with _commit_lock(index_dir):
+                if not os.path.exists(f"{index_dir}/{TYPO_DIR}"):
+                    write_deletion_table(term_stats, index_dir)
+        except OSError:
+            # index_dir not lockable (read-only fixture dir): fall back
+            # to the unlocked build — single-process test shape
+            write_deletion_table(term_stats, index_dir)
     dels = spark.read.parquet(f"{index_dir}/{TYPO_DIR}")
     # the query side is ≤ Σ len(unknown terms)²/2 rows → broadcast; the
     # candidate set after the variant equi-join is tiny (the deletion

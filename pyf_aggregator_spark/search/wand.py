@@ -184,12 +184,19 @@ def _topk_one_query(
     own group. Slots must nest inside groups (every member of a slot
     shares the group). The interval upper bound stays Σ per-term
     bounds, which dominates the Σ-of-slot-maxima true score — pruning
-    stays exact, merely less tight on slotted queries."""
+    stays exact, merely less tight on slotted queries.
+
+    ``slots``/``groups`` values are TUPLES of ids: a term shared by
+    several expansion sets (e.g. 'vector vecto' with prefix — the
+    expansion collapses into the fixed token) belongs to EVERY one of
+    them, so a doc matching the shared term satisfies all those query
+    tokens instead of only the first (single-membership returned zero
+    hits for such and-mode queries)."""
     terms = [t for t in terms if t in blocks.per_term]
     if groups is None and slots is not None:
         groups = slots
     if groups is not None:
-        n_live_groups = len({groups[t] for t in terms})
+        n_live_groups = len({g for t in terms for g in groups[t]})
         if not terms or (mode == "and" and n_live_groups < n_query_terms):
             return []
     elif not terms or (mode == "and" and len(terms) < n_query_terms):
@@ -225,10 +232,10 @@ def _topk_one_query(
         else:
             # all GROUPS must be active (any member term), not all terms
             ok = np.ones(n_ivl, dtype=bool)
-            for gid in sorted({groups[t] for t in terms}):
+            for gid in sorted({g for t in terms for g in groups[t]}):
                 member = np.zeros(n_ivl, dtype=bool)
                 for ti, t in enumerate(terms):
-                    if groups[t] == gid:
+                    if gid in groups[t]:
                         member |= active[ti]
                 ok &= member
         ub = np.where(ok, ub, 0.0)
@@ -273,11 +280,12 @@ def _topk_one_query(
                     continue
                 off = ids[a:b_] - lo
                 acc[off] += sc[a:b_]
-                gh = group_hit.get(groups[t])
-                if gh is None:
-                    gh = np.zeros(width, dtype=bool)
-                    group_hit[groups[t]] = gh
-                gh[off] = True
+                for gid in groups[t]:
+                    gh = group_hit.get(gid)
+                    if gh is None:
+                        gh = np.zeros(width, dtype=bool)
+                        group_hit[gid] = gh
+                    gh[off] = True
             nmatch = np.zeros(width, dtype=np.int32)
             for gh in group_hit.values():
                 nmatch += gh
@@ -293,12 +301,13 @@ def _topk_one_query(
                 if a == b_:
                     continue
                 off = ids[a:b_] - lo
-                arr = slot_best.get(slots[t])
-                if arr is None:
-                    arr = np.zeros(width, dtype=np.float64)
-                    slot_best[slots[t]] = arr
-                    slot_group[slots[t]] = groups[t]
-                arr[off] = np.maximum(arr[off], sc[a:b_])
+                for mi, sid in enumerate(slots[t]):
+                    arr = slot_best.get(sid)
+                    if arr is None:
+                        arr = np.zeros(width, dtype=np.float64)
+                        slot_best[sid] = arr
+                        slot_group[sid] = groups[t][mi]
+                    arr[off] = np.maximum(arr[off], sc[a:b_])
             acc = np.zeros(width, dtype=np.float64)
             nmatch = np.zeros(width, dtype=np.int32)
             group_hit = {}
@@ -363,12 +372,14 @@ def _match_ids_one_query(
     terms = [t for t in terms if t in blocks.per_term]
     if groups is not None:
         if not terms or (
-            mode == "and" and len({groups[t] for t in terms}) < n_query_terms
+            mode == "and"
+            and len({g for t in terms for g in groups[t]}) < n_query_terms
         ):
             return np.empty(0, dtype=np.int64)
         by_group: dict[int, list[str]] = {}
         for t in terms:
-            by_group.setdefault(groups[t], []).append(t)
+            for gid in groups[t]:
+                by_group.setdefault(gid, []).append(t)
         per = [
             np.unique(np.concatenate([blocks.postings(t)[0] for t in ts]))
             for ts in by_group.values()
@@ -424,17 +435,22 @@ def _score_matches_one_query(
         m = _sorted_member(ids, pids)  # ids is sorted (np.unique output)
         if not m.any():
             continue
-        id_parts.append(pids[m])
-        sc_parts.append(pscores[m])
         if slots is not None:
-            slot_parts.append(
-                np.full(int(m.sum()), slots[t], dtype=np.int64)
-            )
+            # a term shared by several slots contributes to EACH
+            for sid in slots[t]:
+                id_parts.append(pids[m])
+                sc_parts.append(pscores[m])
+                slot_parts.append(
+                    np.full(int(m.sum()), sid, dtype=np.int64)
+                )
+        else:
+            id_parts.append(pids[m])
+            sc_parts.append(pscores[m])
     all_ids = np.concatenate(id_parts)
     all_sc = np.concatenate(sc_parts)
     if slots is not None:
         # best member per (doc, slot) scores; slots then sum
-        n_slots = max(slots.values()) + 1
+        n_slots = max(s for v in slots.values() for s in v) + 1
         key = all_ids * n_slots + np.concatenate(slot_parts)
         uk, inv = np.unique(key, return_inverse=True)
         mx = np.full(uk.size, -np.inf)
@@ -773,15 +789,21 @@ def _slots_spec(
         .collect()
     )
     present = {r["term"]: r["idf"] for r in idf_rows}
-    slots: dict[str, int] = {}
+    # a term may belong to SEVERAL slots (overlapping expansion sets):
+    # membership is a tuple, and a doc matching the term satisfies
+    # every slot that contains it
+    memb: dict[str, list[int]] = {}
     for si, g in enumerate(slot_terms):
-        for t in g:
-            if t in present and t not in slots:
-                slots[t] = si
-    if not slots:
+        for t in dict.fromkeys(g):
+            if t in present:
+                memb.setdefault(t, []).append(si)
+    if not memb:
         return None
-    if mode == "and" and len(set(slots.values())) < len(slot_terms):
+    if mode == "and" and len(
+        {s for v in memb.values() for s in v}
+    ) < len(slot_terms):
         return None  # a slot with no live member can never match
+    slots = {t: tuple(v) for t, v in memb.items()}
     idf_map = {t: present[t] for t in slots}
     return idf_map, slots
 
@@ -1059,10 +1081,13 @@ def _mf_spec(
     )
     if not stats:
         return None
-    term_group: dict[str, int] = {}
+    # multi-membership: a term shared by several token groups (e.g. a
+    # prefix expansion collapsing into a fixed token) satisfies EVERY
+    # one of them — memberships are tuples end to end
+    term_groups: dict[str, list[int]] = {}
     for gi, g in enumerate(token_groups):
-        for t in g:
-            term_group.setdefault(t, gi)
+        for t in dict.fromkeys(g):
+            term_groups.setdefault(t, []).append(gi)
     n_groups = len(token_groups)
     field_idx = {f: i for i, f in enumerate(fields)}
     idf_map, avgdl_map, slots, groups = {}, {}, {}, {}
@@ -1071,12 +1096,14 @@ def _mf_spec(
         key = r["field"] + FIELD_SEP + r["term"]
         idf_map[key] = r["idf"] * weights[r["field"]]
         avgdl_map[key] = idx["avgdl_by_field"][r["field"]]
-        gi = term_group[r["term"]]
-        groups[key] = gi
-        slots[key] = field_idx[r["field"]] * n_groups + gi
+        gis = term_groups[r["term"]]
+        groups[key] = tuple(gis)
+        slots[key] = tuple(
+            field_idx[r["field"]] * n_groups + gi for gi in gis
+        )
         live_terms.add(r["term"])
     if mode == "and" and len(
-        {term_group[t] for t in live_terms}
+        {g for t in live_terms for g in term_groups[t]}
     ) < n_groups:
         return None  # a token with no live member in any field
     if all(len(g) == 1 for g in token_groups):

@@ -855,3 +855,65 @@ def test_search_infix_typo_correction_takes_precedence(spark, sf_dir):
 def test_search_infix_param_validation(spark, sf_dir):
     with pytest.raises(ValueError, match="infix must be"):
         search(spark, sf_dir, {"q": "spark", "infix": "sometimes"})
+
+
+def test_search_overlapping_prefix_expansion_and_mode(spark, sf_dir):
+    """A prefix whose expansion collapses into a fixed token ('vector
+    vecto' → expansion {vector}) must still match in and-mode: the
+    shared term satisfies BOTH query tokens (kernel multi-membership;
+    single-membership returned found=0)."""
+    plain = search(spark, sf_dir,
+                   {"q": "vector", "per_page": 5, "num_typos": 0})
+    res = search(spark, sf_dir,
+                 {"q": "vector vecto", "prefix": True, "mode": "and",
+                  "num_typos": 0, "per_page": 5})
+    assert res["found"] == plain["found"] > 0
+    # the multifield engine agrees
+    mf = search(spark, sf_dir,
+                {"q": "vector vecto", "prefix": True, "mode": "and",
+                 "query_by": "name,title,first_chapter,main_content,"
+                             "changelog",
+                 "num_typos": 0, "per_page": 5})
+    assert mf["found"] > 0
+
+
+def test_grouped_paging_keeps_null_group(spark, tmp_path):
+    """NULL is a legitimate group value: its rows must survive the
+    page-groups isin filter (3VL — the F4 trap again) with
+    group_limit > 1."""
+    import os
+
+    rows = [(i, "needle match " + str(i), "a") for i in range(4)]
+    rows += [(10 + i, "needle needle strong", None) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    d = str(tmp_path / "nullgrp")
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    res = search(
+        spark, d,
+        {"q": "needle", "group_by": "grp", "group_limit": 2,
+         "num_typos": 0, "per_page": 5},
+    )
+    groups = {r["grp"] for r in res["grouped_hits"]}
+    assert None in groups and "a" in groups
+    null_rows = [r for r in res["grouped_hits"] if r["grp"] is None]
+    assert len(null_rows) == 2  # group_limit honored for the null group
+    assert res["found"] == 7 and res["found_groups"] == 2
+    assert res["found_docs"] == res["found"]  # Typesense 0.25+ spelling
+
+
+def test_search_pinned_matching_doc_below_overfetch_keeps_score(
+    spark, sf_dir
+):
+    """A pinned doc that MATCHES but ranks below the top-k over-fetch
+    still reports its true text_match (the curated-ids probe is a
+    score-matches kernel, not bare membership)."""
+    deep = search(spark, sf_dir,
+                  {"q": "spark vector", "per_page": 20, "num_typos": 0})
+    tail = deep["hits"][-1]  # rank ~20, far below k=2+1
+    res = search(spark, sf_dir,
+                 {"q": "spark vector", "per_page": 2, "num_typos": 0,
+                  "pinned_hits": f"{tail['document']['doc_id']}:1"})
+    assert res["hits"][0]["document"]["doc_id"] == tail["document"]["doc_id"]
+    assert res["hits"][0]["text_match"] == tail["text_match"]  # not None
+    assert res["found"] == deep["found"]  # it matched: found unchanged
