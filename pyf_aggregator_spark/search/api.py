@@ -282,7 +282,6 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     )
     from pyf_aggregator_spark.registry import load
     from pyf_aggregator_spark.search.fallback import drop_tokens_with_found
-    from pyf_aggregator_spark.search.prefix import expand_prefix
     from pyf_aggregator_spark.search.typo import correct_terms
     from pyf_aggregator_spark.search.wand import (
         wand_match_ids,
@@ -444,28 +443,34 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         # matched word scores; the token counts as one query token).
         # prefix expands the LAST token against startswith; infix
         # expands tokens against contains ("always": all tokens,
-        # "fallback": only tokens absent from the vocabulary).
-        from pyf_aggregator_spark.search.infix import expand_infix
+        # "fallback": only tokens absent from the vocabulary). All
+        # probes (prefix + per-token infix + known-token equality) run
+        # as ONE vocabulary job (expand_many), not one scan per token.
+        from pyf_aggregator_spark.search.prefix import expand_many
 
         *fixed, last = terms
         fixed = list(dict.fromkeys(fixed))
-        known: set[str] = set()
-        if infix_mode == "fallback":
-            known = {
-                r["term"]
-                for r in typo_stats.filter(
-                    F.col("term").isin(sorted(set(terms)))
-                ).select("term").collect()
-            }
+        probes: list[tuple[str, str]] = []
+        if infix_mode == "always":
+            probes += [("infix", t) for t in dict.fromkeys(terms)]
+        elif infix_mode == "fallback":
+            # exact + infix probes submitted together: one job decides
+            # known-ness AND has the expansion ready for unknown tokens
+            probes += [("exact", t) for t in dict.fromkeys(terms)]
+            probes += [("infix", t) for t in dict.fromkeys(terms)]
+        if params.get("prefix"):
+            probes.append(("prefix", last))
+        exp_map = expand_many(typo_stats, probes)
+        known = {t for (k, t), v in exp_map.items() if k == "exact" and v}
 
         def _expand(t: str, is_last: bool) -> list[str]:
             exp = [t]
             if infix_mode == "always" or (
                 infix_mode == "fallback" and t not in known
             ):
-                exp = list(dict.fromkeys(exp + expand_infix(typo_stats, t)))
+                exp = list(dict.fromkeys(exp + exp_map.get(("infix", t), [])))
             if is_last and params.get("prefix"):
-                pexp = expand_prefix(typo_stats, t) or []
+                pexp = exp_map.get(("prefix", t), [])
                 if infix_mode == "off":
                     exp = pexp or [t]
                 else:

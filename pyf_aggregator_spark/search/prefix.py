@@ -42,6 +42,51 @@ def expand_prefix(
     return [r["term"] for r in rows]
 
 
+def expand_many(
+    term_stats: DataFrame,
+    probes: list[tuple[str, str]],
+    max_expansions: int = MAX_EXPANSIONS,
+) -> dict[tuple[str, str], list[str]]:
+    """[(kind, token)] → {(kind, token): [matching terms]} in ONE
+    vocabulary pass: kind 'prefix' = startswith, 'infix' = contains,
+    'exact' = equality. Per-probe df-ranked cap via a window — the
+    identical ordering/limit as expand_prefix/expand_infix, but one
+    Spark job however many tokens the query has (the facade previously
+    ran one vocabulary scan per token plus a known-tokens collect)."""
+    if not probes:
+        return {}
+    from pyspark.sql import Window
+
+    spark = term_stats.sparkSession
+    pdf = spark.createDataFrame(
+        sorted(set(probes)), "kind string, token string"
+    )
+    match = (
+        F.when(
+            F.col("kind") == "prefix",
+            F.col("term").startswith(F.col("token")),
+        )
+        .when(F.col("kind") == "exact", F.col("term") == F.col("token"))
+        .otherwise(F.col("term").contains(F.col("token")))
+    )
+    w = Window.partitionBy("kind", "token").orderBy(
+        F.desc("df"), F.asc("term")
+    )
+    rows = (
+        term_stats.select("term", "df")
+        .crossJoin(F.broadcast(pdf))
+        .filter(match)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_expansions)
+        .select("kind", "token", "term", "rn")
+        .collect()
+    )
+    out: dict[tuple[str, str], list[str]] = {p: [] for p in probes}
+    for r in sorted(rows, key=lambda r: r["rn"]):
+        out[(r["kind"], r["token"])].append(r["term"])
+    return out
+
+
 def prefix_slot_terms(
     idx: dict, query: str, max_expansions: int = MAX_EXPANSIONS
 ) -> list[list[str]]:

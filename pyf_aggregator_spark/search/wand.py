@@ -1115,6 +1115,21 @@ def _mf_spec(
     return raw_terms, idf_map, avgdl_map, slots, groups, n_groups
 
 
+def _mf_seg_scan(idx: dict, raw_terms: list[str], fields: list[str]):
+    """The shared multifield segment scan: term IN-filter + field
+    partition pruning (both pushed to the parquet read), then the field
+    namespace folded into the term column (``field␟term``) so every
+    doc-range partition answers the query in one kernel pass. Every
+    multifield kernel path (top-k, match-ids, score-matches) reads
+    through here — one place to keep the namespacing/_SEG_COLS contract."""
+    return (
+        idx["segments"]
+        .filter(F.col("term").isin(raw_terms) & F.col("field").isin(fields))
+        .withColumn("term", F.concat("field", F.lit(FIELD_SEP), "term"))
+        .select(*_SEG_COLS)
+    )
+
+
 def _wand_mf_local(
     idx: dict,
     weights: dict[str, float],
@@ -1139,19 +1154,13 @@ def _wand_mf_local(
     if spec is None:
         return None
     raw_terms, idf_map, avgdl_map, slots, groups, n_groups = spec
-    fields = sorted(weights)
     # one scan: term IN-filter + field partition pruning pushed to the
     # parquet read; the field namespace rides the term column so every
     # doc-range partition answers the weighted query in one kernel pass.
     # Tombstones (upsert_multifield) and bound factors (stored max_norms
     # of pre-upsert parts under the old per-field avgdl) ride the same
     # mechanisms as the single-field path; a fresh build has neither.
-    seg = (
-        idx["segments"]
-        .filter(F.col("term").isin(raw_terms) & F.col("field").isin(fields))
-        .withColumn("term", F.concat("field", F.lit(FIELD_SEP), "term"))
-        .select(*_SEG_COLS)
-    )
+    seg = _mf_seg_scan(idx, raw_terms, sorted(weights))
     return _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
         _wand_partition(
             idf_map, avgdl_map, k, mode, n_groups,
@@ -1275,12 +1284,7 @@ def wand_match_ids_multifield(
         )
         return pd.DataFrame({"doc_id": ids})
 
-    seg = (
-        idx["segments"]
-        .filter(F.col("term").isin(raw_terms) & F.col("field").isin(list(fields)))
-        .withColumn("term", F.concat("field", F.lit(FIELD_SEP), "term"))
-        .select(*_SEG_COLS)
-    )
+    seg = _mf_seg_scan(idx, raw_terms, sorted(fields))
     return (
         _seg_with_tombstones(idx, seg, allowed)
         .groupBy("part_id")
@@ -1309,13 +1313,7 @@ def wand_score_matches_multifield(
     if spec is None:
         return spark.createDataFrame([], "doc_id long, score double")
     raw_terms, idf_map, avgdl_map, slots, groups, n_groups = spec
-    fields = sorted(weights)
-    seg = (
-        idx["segments"]
-        .filter(F.col("term").isin(raw_terms) & F.col("field").isin(fields))
-        .withColumn("term", F.concat("field", F.lit(FIELD_SEP), "term"))
-        .select(*_SEG_COLS)
-    )
+    seg = _mf_seg_scan(idx, raw_terms, sorted(weights))
     local = _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
         _score_matches_partition(
             idf_map, avgdl_map, mode, n_groups,
