@@ -179,30 +179,3 @@ def clean_registry(col: Column | str) -> Column:
     return F.coalesce(c, F.lit("pypi"))
 
 
-# ------------------------------------------------- C12 bucketed scoring
-# reference: health_score.py:78-135 — recency buckets + bonuses, cap 100.
-# Bucket boundaries are ours (the op is the when/otherwise chain pattern).
-
-
-def recency_score(age_days: Column) -> Column:
-    return (
-        F.when(age_days <= 30, 40)
-        .when(age_days <= 90, 32)
-        .when(age_days <= 180, 24)
-        .when(age_days <= 365, 16)
-        .when(age_days <= 730, 8)
-        .otherwise(0)
-    )
-
-
-def health_score(age_days: Column, stars: Column, open_issues: Column) -> Column:
-    """Bucketed composite score capped at 100 (pure column algebra)."""
-    star_bonus = (
-        F.when(stars >= 1000, 30)
-        .when(stars >= 100, 20)
-        .when(stars >= 10, 10)
-        .otherwise(0)
-    )
-    issue_penalty = F.when(open_issues > 50, 10).otherwise(0)
-    raw = recency_score(age_days) + star_bonus + F.lit(30) - issue_penalty
-    return F.least(raw, F.lit(100))

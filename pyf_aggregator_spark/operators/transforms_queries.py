@@ -10,12 +10,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyf_aggregator_spark.fixtures.health import (
+    NOW_TS,
+    health_docs_df,
+    health_values_sql,
+)
 from pyf_aggregator_spark.fixtures.packages import (
     enrichment_df,
     enrichment_values_sql,
     packages_df,
     packages_values_sql,
 )
+from pyf_aggregator_spark.functions.health import health_scores
 from pyf_aggregator_spark.functions.transforms import (
     GITHUB_RESERVED_OWNERS,
     VERSION_RE,
@@ -24,7 +30,6 @@ from pyf_aggregator_spark.functions.transforms import (
     clean_string,
     github_https_url,
     github_owner_repo,
-    health_score,
     iso_to_unix,
     keyword_split,
     version_parse,
@@ -324,46 +329,197 @@ def j1_preserved_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- C12
+# Exact-formula health score (round-5 upgrade from the bucketed analog):
+# plugins/health_score.py (recency/docs/metadata + problems/bonuses),
+# enrichers/health_calculator.py:104-223 (GitHub bonuses, min(100, ·)),
+# plugins/screenshot_detector.py (badge filter, min width 200).
+# Spark side: functions/health.py column algebra over the health_docs
+# fixture; oracle: an independent DuckDB replay below (same NOW pin).
+
+
+def _sql_meaningful(u: str) -> str:
+    """DuckDB snippet for health_score.py:147-177 (is_meaningful_docs_url)."""
+    return (
+        f"({u} IS NOT NULL AND {u} <> '' "
+        f"AND NOT contains(lower({u}), 'pypi.org/project/') "
+        f"AND NOT regexp_matches(lower({u}), "
+        r"'^https?://(www\.)?(github|gitlab)\.(com|io)/[^/]+/[^/]+(/?|#.*)$'"
+        "))"
+    )
+
+
+def _sql_wc(c: str) -> str:
+    """DuckDB snippet for health_score.py:8-12 (count_words)."""
+    return (
+        f"(CASE WHEN {c} IS NULL OR trim({c}) = '' THEN 0 "
+        rf"ELSE len(regexp_split_to_array(trim({c}), '\s+')) END)"
+    )
+
+
+_SQL_BADGE = (
+    r"'(?i)shields\.io|img\.shields\.io|badge\.fury\.io|"
+    r"travis-ci\.(org|com)|codecov\.io|coveralls\.io|circleci\.com|"
+    r"github\.com/[^/]+/[^/]+/workflows/[^/]+\.svg|"
+    r"github\.com/[^/]+/[^/]+/actions/workflows/[^/]+/badge|"
+    r"readthedocs\.org/[^/]+/badge|pypi\.org/badges|"
+    r"pypi\.python\.org/[^/]*badge|ci\.appveyor\.com|snyk\.io|"
+    r"codacy\.com|sonarcloud\.io|badge'"
+)
+
+# Per-<img> width: attr first (strip trailing px, TRY_CAST), then CSS
+# style — screenshot_detector.py:126-159; -1 sentinel = undeterminable.
+_SQL_IMG_W = (
+    "coalesce("
+    "TRY_CAST(trim(regexp_replace("
+    "regexp_extract(t, 'width=\"([^\"]*)\"', 1), '[px]+$', '')) AS INT), "
+    "TRY_CAST(regexp_extract(regexp_extract(t, 'style=\"([^\"]*)\"', 1), "
+    r"'(?i)width\s*:\s*(\d+)(?:px)?'"
+    ", 1) AS INT), -1)"
+)
+
+_SQL_SCREENS = (
+    "(description IS NOT NULL AND len(list_filter("
+    "regexp_extract_all(description, '<img[^>]*>'), "
+    "t -> regexp_extract(t, 'src=\"([^\"]*)\"', 1) <> '' "
+    f"AND NOT regexp_matches(regexp_extract(t, 'src=\"([^\"]*)\"', 1), {_SQL_BADGE}) "
+    f"AND {_SQL_IMG_W} >= 200)) > 0)"
+)
+
+_HLT = health_values_sql()
+_NOW = NOW_TS
+
+_NOT_ENOUGH = (
+    "not enough documentation (extend README to 500+ words or add"
+    " documentation link)"
+)
 
 
 @register(
     "c12_health_score",
     f"""
-    WITH {ENR},
-    aged AS (
-      SELECT name, github_stars, github_open_issues,
-             date_diff('day', TRY_CAST(enriched_iso AS TIMESTAMPTZ),
-                       TIMESTAMPTZ '2024-06-01 00:00:00+00') AS age_days
-      FROM enrichment
+    WITH {_HLT},
+    s1 AS (
+      SELECT name,
+        CASE WHEN upload_ts IS NOT NULL AND upload_ts <> 0 THEN upload_ts
+             WHEN upload_iso IS NOT NULL
+                  AND regexp_matches(upload_iso, '(Z|[+-]\\d{{2}}:\\d{{2}})$')
+             THEN CAST(epoch(TRY_CAST(upload_iso AS TIMESTAMPTZ)) AS BIGINT)
+        END AS up_sec,
+        {_sql_meaningful('docs_url')} AS has_docs_url,
+        (description IS NOT NULL AND length(description) > 150) AS desc_ok,
+        len(list_filter(
+          list_zip(coalesce(purl_keys, []), coalesce(purl_vals, [])),
+          p -> regexp_matches(lower(p[1]), '(documentation|docs|home)')
+               AND {_sql_meaningful('p[2]')}
+        )) > 0 AS has_purl,
+        {_sql_wc('first_chapter')} + {_sql_wc('main_content')} AS readme_words,
+        {_SQL_SCREENS} AS screens,
+        ((maintainer IS NOT NULL AND maintainer <> '')
+         OR (author IS NOT NULL AND author <> '')) AS has_person,
+        (license IS NOT NULL AND license <> '') AS has_license,
+        coalesce(registry, 'pypi') = 'npm' AS is_npm,
+        CASE WHEN coalesce(registry, 'pypi') = 'npm'
+             THEN len(coalesce(keywords, [])) >= 3
+             ELSE len(coalesce(classifiers, [])) >= 3 END AS class_ok,
+        github_stars, github_updated, github_open_issues
+      FROM health_docs
+    ),
+    s2 AS (
+      SELECT *,
+        CAST(floor(({_NOW} - up_sec) / 86400.0) AS BIGINT) AS age_days,
+        CASE WHEN github_stars IS NOT NULL AND github_stars <> 0 THEN
+          CASE WHEN github_stars >= 1000 THEN 10 WHEN github_stars >= 500 THEN 7
+               WHEN github_stars >= 100 THEN 5 WHEN github_stars >= 50 THEN 3
+               WHEN github_stars >= 10 THEN 1 ELSE 0 END
+        ELSE 0 END AS stars_bonus,
+        CASE WHEN github_updated IS NOT NULL AND github_updated <> 0 THEN
+          CASE WHEN ({_NOW} - github_updated) / 86400.0 < 30 THEN 10
+               WHEN ({_NOW} - github_updated) / 86400.0 < 90 THEN 7
+               WHEN ({_NOW} - github_updated) / 86400.0 < 180 THEN 5
+               WHEN ({_NOW} - github_updated) / 86400.0 < 365 THEN 3
+               ELSE 0 END
+        ELSE 0 END AS activity_bonus,
+        CASE WHEN github_open_issues IS NOT NULL AND github_stars IS NOT NULL
+                  AND github_stars > 0 THEN
+          CASE WHEN github_open_issues * 1.0 / github_stars < 0.1 THEN 10
+               WHEN github_open_issues * 1.0 / github_stars < 0.3 THEN 7
+               WHEN github_open_issues * 1.0 / github_stars < 0.5 THEN 5
+               WHEN github_open_issues * 1.0 / github_stars < 1.0 THEN 3
+               ELSE 0 END
+        ELSE 0 END AS issue_bonus
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *,
+        CASE WHEN up_sec IS NULL THEN 0 WHEN age_days < 180 THEN 40
+             WHEN age_days < 365 THEN 30 WHEN age_days < 730 THEN 20
+             WHEN age_days < 1095 THEN 10 WHEN age_days < 1825 THEN 5
+             ELSE 0 END AS recency_points,
+        (CASE WHEN has_docs_url THEN 4 ELSE 0 END
+         + CASE WHEN desc_ok THEN 18 ELSE 0 END
+         + CASE WHEN has_purl THEN 3 ELSE 0 END
+         + CASE WHEN screens THEN 5 ELSE 0 END) AS docs_points,
+        (CASE WHEN has_person THEN 10 ELSE 0 END
+         + CASE WHEN has_license THEN 10 ELSE 0 END
+         + CASE WHEN class_ok THEN 10 ELSE 0 END) AS metadata_points,
+        stars_bonus + activity_bonus + issue_bonus AS github_bonus_total
+      FROM s2
     )
-    SELECT name, age_days,
-      least(
-        CASE WHEN age_days <= 30 THEN 40 WHEN age_days <= 90 THEN 32
-             WHEN age_days <= 180 THEN 24 WHEN age_days <= 365 THEN 16
-             WHEN age_days <= 730 THEN 8 ELSE 0 END
-        + CASE WHEN github_stars >= 1000 THEN 30 WHEN github_stars >= 100 THEN 20
-               WHEN github_stars >= 10 THEN 10 ELSE 0 END
-        + 30
-        - CASE WHEN github_open_issues > 50 THEN 10 ELSE 0 END,
-        100) AS score
-    FROM aged ORDER BY name, age_days
+    SELECT name,
+      least(100, recency_points + docs_points + metadata_points
+                 + github_bonus_total)::INT AS health_score,
+      recency_points::INT AS recency_points,
+      docs_points::INT AS docs_points,
+      metadata_points::INT AS metadata_points,
+      concat_ws('|',
+        CASE WHEN up_sec IS NULL THEN 'no release timestamp'
+             WHEN age_days < 180 THEN NULL
+             WHEN age_days < 365 THEN 'last release over 6 months ago'
+             WHEN age_days < 730 THEN 'last release over 1 year ago'
+             WHEN age_days < 1095 THEN 'last release over 2 years ago'
+             WHEN age_days < 1825 THEN 'last release over 3 years ago'
+             ELSE 'last release over 5 years ago' END,
+        CASE WHEN github_updated IS NOT NULL AND github_updated <> 0
+                  AND activity_bonus = 0
+             THEN 'no GitHub activity in 1+ year'
+             WHEN github_updated IS NOT NULL AND github_updated <> 0
+                  AND activity_bonus <= 3
+             THEN 'limited GitHub activity (6+ months)' END
+      ) AS recency_problems,
+      concat_ws('|',
+        CASE WHEN NOT desc_ok THEN 'description too short (<150 chars)' END,
+        CASE WHEN readme_words < 500 AND NOT has_docs_url AND NOT has_purl
+             THEN '{_NOT_ENOUGH}' END
+      ) AS docs_problems,
+      concat_ws('|',
+        CASE WHEN NOT has_person THEN 'no maintainer info' END,
+        CASE WHEN NOT has_person THEN 'no author info' END,
+        CASE WHEN NOT has_license THEN 'no license' END,
+        CASE WHEN NOT class_ok THEN
+          CASE WHEN is_npm THEN 'fewer than 3 keywords'
+               ELSE 'fewer than 3 classifiers' END END
+      ) AS metadata_problems,
+      concat_ws('|',
+        CASE WHEN has_docs_url THEN 'has dedicated docs URL:4' END,
+        CASE WHEN has_purl THEN 'has documentation project URL:3' END,
+        CASE WHEN screens THEN 'has meaningful screenshots:5' END
+      ) AS docs_bonuses,
+      concat_ws('|',
+        CASE WHEN issue_bonus >= 5 THEN 'good issue management' END
+      ) AS metadata_bonuses,
+      stars_bonus::INT AS stars_bonus,
+      activity_bonus::INT AS activity_bonus,
+      issue_bonus::INT AS issue_bonus,
+      github_bonus_total::INT AS github_bonus_total
+    FROM s3 ORDER BY name
     """,
 )
 def c12_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C12: bucketed scoring as when/otherwise chains
-    (health_score.py:78-135 pattern; boundaries ours)."""
-    now = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
-    df = enrichment_df(spark).withColumn(
-        "age_days",
-        F.datediff(now.cast("date"), F.to_timestamp("enriched_iso").cast("date")),
-    )
-    return df.select(
-        "name",
-        "age_days",
-        health_score(
-            F.col("age_days"), F.col("github_stars"), F.col("github_open_issues")
-        ).alias("score"),
-    ).orderBy("name", "age_days")
+    """C12: the reference's EXACT health formula (health_score.py:15-311
+    + health_calculator.py:104-223 + screenshot_detector.py), flattened
+    breakdown included — see functions/health.py for the column algebra
+    and the documented engine-level deltas."""
+    return health_scores(health_docs_df(spark), NOW_TS)
 
 
 # --------------------------------------------------------------- A5 (array)
