@@ -273,19 +273,33 @@ def c8_c11_normalizers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f1_classifier_prefix_filter",
     f"""
-    WITH {PKG}
-    SELECT name, version FROM packages
-    WHERE len(list_filter(classifiers, c -> c LIKE 'Framework :: Plone%')) > 0
-    ORDER BY name, version
+    WITH {PKG},
+    curated(name, curated_score, curated_domain) AS (
+      SELECT * FROM (VALUES
+        ('plone.api', 1, 'plone'), ('betapkg', 7, 'plone'))
+    )
+    SELECT p.name, p.version, c.curated_score, c.curated_domain
+    FROM packages p LEFT JOIN curated c USING (name)
+    WHERE len(list_filter(classifiers, x -> x LIKE 'Framework :: Plone%')) > 0
+    ORDER BY p.name, p.version
     """,
 )
 def f1_classifier_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: keep doc if ANY classifier startswith the filter prefix
-    (fetcher.py:582-602) — higher-order exists, no explode needed."""
+    (fetcher.py:582-602) — higher-order exists, no explode needed.
+    Plus the curated-list plugin (plugins/curated.py:13-17): a static
+    name→(score, domain) map attached per doc, fields absent (null)
+    for names outside the map. Spark shape: broadcast left join — the
+    curated list is a YAML file, always driver-small."""
+    curated = spark.createDataFrame(
+        [("plone.api", 1, "plone"), ("betapkg", 7, "plone")],
+        "name string, curated_score int, curated_domain string",
+    )
     return (
         packages_df(spark)
         .filter(F.exists("classifiers", lambda c: c.startswith("Framework :: Plone")))
-        .select("name", "version")
+        .join(F.broadcast(curated), "name", "left")
+        .select("name", "version", "curated_score", "curated_domain")
         .orderBy("name", "version")
     )
 
