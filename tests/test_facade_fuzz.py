@@ -1,0 +1,229 @@
+"""Differential fuzz of the unified search facade.
+
+Random small corpora + random param draws, compared against
+tests/facade_model.py — a pure-Python THIRD implementation of the
+whole facade surface (the reference's live-oracle test pattern,
+test_live_pypi_sorting.py:115-166, generalized over the param space:
+the goldens pin known cases, this hunts interaction bugs in the
+combinations nobody wrote a golden for).
+
+Deterministic: fixed corpus seeds, fixed draw seeds — failures
+reproduce; the failing params dict is printed in the assert message.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from pyf_aggregator_spark.search.api import search
+
+from facade_model import FacadeModel
+
+LANGS = ["en", "de", "es", None]
+SOURCES = ["src1", "src2", "pkg && a, b", None]
+VOCAB = [
+    "row", "sort", "merge", "vector", "vectors", "vectorize", "window",
+    "windows", "tab", "table", "tables", "stream", "data", "index",
+    "scan", "filter", "group", "joins", "spark", "query", "alignment",
+]
+# misspells crossing the num_typos length gates + prefixes/infixes
+QUERY_EXTRAS = [
+    "vectr", "tabel", "strean", "windoq", "alignmant",  # typo targets
+    "vec", "win", "ta", "ect", "able", "zzq",           # prefix/infix/unknown
+]
+SEPS = [" ", " ", " ", " ", ".", "-", "_", "/", "@"]
+
+
+def _gen_docs(rng: random.Random, n: int = 60) -> list[dict]:
+    docs = []
+    for i in range(n):
+        if rng.random() < 0.05:
+            text = ""
+        else:
+            toks = [rng.choice(VOCAB) for _ in range(rng.randint(3, 28))]
+            parts = [toks[0]]
+            for t in toks[1:]:
+                parts.append(rng.choice(SEPS))
+                parts.append(t)
+            text = "".join(parts)
+        docs.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": rng.choice(LANGS),
+                "source": rng.choice(SOURCES),
+                "n_chars": len(text),
+            }
+        )
+    return docs
+
+
+def _quote(v: str) -> str:
+    return f"`{v}`" if ("&" in v or "," in v) else v
+
+
+def _draw(rng: random.Random, i: int, docs: list[dict]):
+    """→ (facade params, structured clauses for the model). Draw ``i``
+    forces a feature family so every branch is exercised per corpus."""
+    p: dict = {}
+    clauses: list = []
+
+    if i % 10 == 9:
+        p["q"] = rng.choice(["*", ".", ""])
+    else:
+        k = rng.randint(1, 3)
+        pool = VOCAB + QUERY_EXTRAS
+        p["q"] = " ".join(rng.choice(pool) for _ in range(k))
+    p["mode"] = rng.choice(["or", "or", "and"])
+    p["num_typos"] = rng.choice([0, 0, 1, 2])
+    p["page"] = rng.choice([1, 1, 1, 2, 3])
+    p["per_page"] = rng.randint(2, 7)
+
+    fam = i % 10
+    if fam in (1, 2) or rng.random() < 0.25:
+        p["prefix"] = True
+    if fam == 2:
+        p["infix"] = rng.choice(["fallback", "always"])
+    if fam == 3 and p["mode"] == "and":
+        p["drop_tokens_threshold"] = rng.randint(1, 2)
+    if fam == 4:
+        p["group_by"] = rng.choice(["lang", "source"])
+        p["group_limit"] = rng.randint(1, 3)
+    if fam == 5:
+        keys = rng.sample(
+            ["n_chars:desc", "n_chars:asc", "lang:asc", "source:desc"],
+            rng.randint(1, 2),
+        )
+        p["sort_by"] = ",".join(keys)
+    if fam == 6 and p["q"] not in ("*", ".", "") and not p.get("sort_by"):
+        # curation: ranked only, no sort/group (facade raises otherwise)
+        pins = []
+        used_pos = set()
+        for _ in range(rng.randint(1, 2)):
+            pos = rng.randint(1, 6)
+            if pos in used_pos:
+                continue
+            used_pos.add(pos)
+            did = rng.choice([rng.randrange(len(docs)), 999])
+            pins.append(f"{did}:{pos}")
+        if pins:
+            p["pinned_hits"] = ",".join(pins)
+        if rng.random() < 0.7:
+            p["hidden_hits"] = ",".join(
+                str(rng.randrange(len(docs)))
+                for _ in range(rng.randint(1, 2))
+            )
+    if fam == 7:
+        fields = rng.sample(
+            ["name", "title", "first_chapter", "main_content", "changelog"],
+            rng.randint(1, 3),
+        )
+        p["query_by"] = ",".join(fields)
+        if rng.random() < 0.6:
+            p["query_by_weights"] = ",".join(
+                str(rng.randint(1, 10)) for _ in fields
+            )
+    if fam == 8 or rng.random() < 0.2:
+        inc = rng.sample(["doc_id", "lang", "source", "n_chars"], rng.randint(1, 3))
+        p["include_fields"] = ",".join(inc)
+    elif rng.random() < 0.15:
+        p["exclude_fields"] = rng.choice(["text", "text,source"])
+
+    # filters: half the draws, values from the live domain + misses
+    if rng.random() < 0.5:
+        for _ in range(rng.randint(1, 2)):
+            field = rng.choice(["lang", "source", "n_chars"])
+            domain = sorted(
+                {str(d[field]) for d in docs if d[field] is not None}
+            )
+            vals = rng.sample(domain, min(len(domain), rng.randint(1, 2)))
+            if rng.random() < 0.15:
+                vals.append("nope")
+            neg = rng.random() < 0.3
+            clauses.append((field, vals, neg))
+        parts = []
+        for field, vals, neg in clauses:
+            op = ":!=" if neg else ":="
+            if len(vals) == 1:
+                parts.append(f"{field}{op}{_quote(vals[0])}")
+            else:
+                parts.append(
+                    f"{field}{op}[" + ", ".join(_quote(v) for v in vals) + "]"
+                )
+        p["filter_by"] = " && ".join(parts)
+
+    # facets on a third of draws
+    if rng.random() < 0.35 and not p.get("group_by"):
+        fields = rng.sample(["lang", "source", "n_chars"], rng.randint(1, 2))
+        p["facet_by"] = ",".join(fields)
+        p["max_facet_values"] = rng.choice([2, 3, 10])
+        if rng.random() < 0.3:
+            p["facet_query"] = rng.choice(
+                [f"{fields[0]}:e", f"{fields[0]}:s", f"{fields[0]}:src"]
+            )
+    return p, clauses
+
+
+def _assert_same(got: dict, want: dict, ctx: str) -> None:
+    assert got.get("found") == want.get("found"), (
+        f"found {got.get('found')} != {want.get('found')} :: {ctx}"
+    )
+    if "grouped_hits" in want:
+        assert got["found_groups"] == want["found_groups"], ctx
+        assert got["found_docs"] == want["found_docs"], ctx
+        assert got["grouped_hits"] == want["grouped_hits"], (
+            f"{got['grouped_hits']} != {want['grouped_hits']} :: {ctx}"
+        )
+        return
+    gh = [
+        (h["document"], h["text_match"], bool(h.get("curated")))
+        for h in got["hits"]
+    ]
+    wh = [
+        (h["document"], h["text_match"], bool(h.get("curated")))
+        for h in want["hits"]
+    ]
+    assert gh == wh, f"hits {gh} != {wh} :: {ctx}"
+    assert got.get("facet_counts", []) == want.get("facet_counts", []), (
+        f"facets {got.get('facet_counts')} != {want.get('facet_counts')}"
+        f" :: {ctx}"
+    )
+
+
+@pytest.fixture(scope="module", params=[7, 23, 41])
+def corpus(request, spark, tmp_path_factory):
+    seed = request.param
+    docs = _gen_docs(random.Random(seed))
+    base = tmp_path_factory.mktemp(f"fuzz{seed}")
+    sf_dir = str(base / f"fuzzcorpus{seed}")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [
+            (d["doc_id"], d["text"], d["lang"], d["source"], d["n_chars"])
+            for d in docs
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(2).write.parquet(f"{sf_dir}/documents.parquet")
+    old = os.environ.get("PYFAGG_SEG_CACHE")
+    os.environ["PYFAGG_SEG_CACHE"] = str(base / "segcache")
+    yield sf_dir, FacadeModel(docs), docs, seed
+    if old is None:
+        os.environ.pop("PYFAGG_SEG_CACHE", None)
+    else:
+        os.environ["PYFAGG_SEG_CACHE"] = old
+
+
+DRAWS = 30
+
+
+def test_facade_fuzz_matches_model(spark, corpus):
+    sf_dir, model, docs, seed = corpus
+    rng = random.Random(seed * 1009 + 17)
+    for i in range(DRAWS):
+        params, clauses = _draw(rng, i, docs)
+        got = search(spark, sf_dir, dict(params))
+        want = model.search({**params, "_clauses": clauses})
+        _assert_same(got, want, f"seed={seed} draw={i} params={params}")
