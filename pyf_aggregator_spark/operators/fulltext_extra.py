@@ -466,7 +466,10 @@ def ft_typesense_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 default search semantics in one graded row:
 
     - ``phrase``: quoted-phrase adjacency — AND-mode candidates, JVM
-      regex verify, BM25 rank (search/phrase.py);
+      regex verify, BM25 rank (search/phrase.py), driven END-TO-END
+      through the facade's quoted-q routing (r5: search/api.py parses
+      the quotes, disables typo/prefix/drop, and feeds the verified
+      match set to every downstream path);
     - ``typo``: num_typos=2 correction with Typesense's length gates —
       'custoemr'→'customer' is a DISTANCE-2 fix (search/typo.py);
     - ``drop``: drop_tokens_threshold=1 right-to-left fallback — the
@@ -492,7 +495,6 @@ def ft_typesense_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyf_aggregator_spark.search.api import search as facade_search
     from pyf_aggregator_spark.search.fallback import wand_topk_drop_tokens
     from pyf_aggregator_spark.search.infix import wand_topk_infix
-    from pyf_aggregator_spark.search.phrase import phrase_topk
     from pyf_aggregator_spark.search.prefix import wand_topk_prefix
     from pyf_aggregator_spark.search.typo import wand_topk_typo
 
@@ -507,9 +509,21 @@ def ft_typesense_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     idx = documents_segment_index(spark, sf_dir)
-    phrase = _branch(
-        phrase_topk(documents_index(spark, sf_dir), _TS_PHRASE_Q, k=_TS_K),
-        "phrase",
+    # the phrase branch drives the FACADE end-to-end (quoted q routes
+    # to the adjacency-verified match set — r5; num_typos left at its
+    # default 2 grades that quoting disables correction); phrase_topk
+    # is the DataFrame-engine twin, rank-identity pinned in pytest
+    ph = facade_search(
+        spark, sf_dir, {"q": f'"{_TS_PHRASE_Q}"', "per_page": _TS_K}
+    )
+    phrase = spark.createDataFrame(
+        [
+            (i + 1, h["document"]["doc_id"], h["text_match"])
+            for i, h in enumerate(ph["hits"])
+        ],
+        "position int, doc_id long, score double",
+    ).select(
+        F.lit("phrase").alias("behavior"), "position", "doc_id", "score"
     )
     typo = _branch(
         wand_topk_typo(idx, _TS_TYPO_Q, k=_TS_K, mode="or"), "typo"

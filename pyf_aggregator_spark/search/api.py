@@ -5,7 +5,15 @@ package is the engine underneath. This facade accepts the Typesense
 param names the reference uses (plus the engine defaults Typesense
 applies silently) and returns a Typesense-shaped response dict:
 
-    q                    query string; "*" = match-all
+    q                    query string; "*" = match-all; a fully-quoted
+                         q ('"tok tok"') requires the tokens ADJACENT
+                         and IN ORDER (Typesense exact match) — the
+                         verified match set feeds sort_by/group_by/
+                         facets/curation like any ranked query, and
+                         quoting disables typo/prefix/infix/drop_tokens
+                         (quoted = exact); mixing quoted and unquoted
+                         tokens raises (explicit, not silently
+                         different semantics)
     query_by             comma list of fields → weighted multi-field
     query_by_weights     comma list of weights (reference AGENTS.md:
                          16-20 uses 10,10,5,3,1 over name,title,
@@ -379,6 +387,31 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             ),
         }
 
+    # ---------------- quoted phrase (Typesense "exact match" in q)
+    # a fully-quoted q requires the tokens ADJACENT and IN ORDER
+    # (search/phrase.py semantics); quoting disables typo correction,
+    # prefix/infix expansion and the drop cascade (quoted = exact —
+    # Typesense applies none of them inside quotes). Without this
+    # parse, the quote chars would ride into the tokens and default
+    # typo correction would silently strip them, degrading the phrase
+    # to an unordered term match.
+    phrase_terms = None
+    if '"' in q:
+        m = re.fullmatch(r'\s*"([^"]+)"\s*', q)
+        if not m:
+            raise ValueError(
+                "quoted q must be exactly one fully-quoted phrase: "
+                '"tok tok ..."'
+            )
+        phrase_terms = tokenize_py(m.group(1))
+        if not phrase_terms:
+            raise ValueError("empty quoted phrase")
+        if params.get("query_by"):
+            raise ValueError(
+                "quoted-phrase q does not combine with query_by "
+                "(phrase adjacency is defined over the text field)"
+            )
+
     # ---------------- ranked search
     # query_by / query_by_weights (the reference's PRIMARY surface,
     # AGENTS.md:16-20) route to the build-time multifield artifact
@@ -414,11 +447,14 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     else:
         idx = documents_segment_index(spark, sf_dir)
         typo_stats, typo_dir = idx["term_stats"], idx["dir"]
-    terms = tokenize_py(q)
+    terms = phrase_terms if phrase_terms is not None else tokenize_py(q)
     num_typos = int(params.get("num_typos", 2))
     infix_mode = str(params.get("infix", "off")).lower()
     if infix_mode not in ("off", "fallback", "always"):
         raise ValueError("infix must be one of off|fallback|always")
+    if phrase_terms is not None:
+        num_typos = 0
+        infix_mode = "off"
     if num_typos > 0:
         mapping = correct_terms(
             spark, typo_dir, terms, typo_stats, num_typos=num_typos
@@ -438,7 +474,9 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             corrected = [mapping.get(t) or t for t in terms]
         terms = corrected or terms
     slot_terms = None
-    if terms and (params.get("prefix") or infix_mode != "off"):
+    if terms and phrase_terms is None and (
+        params.get("prefix") or infix_mode != "off"
+    ):
         # Typesense scoring: each expansion set is ONE slot (the best
         # matched word scores; the token counts as one query token).
         # prefix expands the LAST token against startswith; infix
@@ -489,6 +527,27 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         filtered_docs.select("doc_id") if clauses else None
     )
 
+    # phrase: candidates-then-verify on the segment engine (phrase.py
+    # plan, here composed with the facade) — the exact AND match set
+    # scored in one kernel pass, adjacency verified with one JVM regex
+    # over the CANDIDATES only (never the corpus), then fed to every
+    # downstream path (sort_by / group_by / top-k+found / facets /
+    # curation probe) in place of the kernel match set. Each action
+    # over it re-runs the term-pruned pass — same per-action cost shape
+    # as the non-phrase paths' extra match-ids pass.
+    phrase_verified = None
+    if phrase_terms is not None:
+        from pyf_aggregator_spark.search.phrase import phrase_regex
+        from pyf_aggregator_spark.search.wand import wand_score_matches
+
+        mode = "and"  # adjacency implies every token present
+        phrase_verified = (
+            wand_score_matches(idx, query, mode="and", allowed=allowed)
+            .join(docs.select("doc_id", "text"), "doc_id")
+            .filter(F.col("text").rlike(phrase_regex(phrase_terms)))
+            .select("doc_id", "score")
+        )
+
     # sort_by on a RANKED query (Typesense: the match set is ordered by
     # the sort field, not by text_match): the exact match set comes from
     # the no-scoring match-ids kernel, the sort/page is plain DataFrame
@@ -500,7 +559,9 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         # match set uses the SAME membership as the slotted hits/found
         # (ADVICE r4: the flat expansion required every completion in
         # and-mode, contradicting found)
-        if mf is not None:
+        if phrase_verified is not None:
+            match = phrase_verified.select("doc_id")
+        elif mf is not None:
             match = wand_match_ids_multifield(
                 mf, sorted(weights), query, allowed=allowed,
                 mode=mode, slot_terms=slot_terms,
@@ -541,7 +602,15 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         # counts, computed in the same group-window pass), with
         # ``found_groups`` the distinct group count alongside.
         limit = int(params.get("group_limit", 1))
-        if mf is not None:
+        if phrase_verified is not None:
+            from pyf_aggregator_spark.operators.fulltext_extra import (
+                grouped_from_scored,
+            )
+
+            g = grouped_from_scored(
+                phrase_verified, docs, group_by, limit, with_counts=True
+            )
+        elif mf is not None:
             from pyf_aggregator_spark.operators.fulltext_extra import (
                 grouped_from_scored,
             )
@@ -625,7 +694,19 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     n_curated = len(hidden_ids | set(pinned.values()))
     k = page * per_page + n_curated
     drop_threshold = int(params.get("drop_tokens_threshold", 0))
-    if mf is not None:
+    if phrase_verified is not None:
+        # top-k + exact found from the verified set (two bounded
+        # actions; the ordering/tie-break contract is shared)
+        topk = (
+            phrase_verified.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        all_rows = [
+            {"doc_id": r["doc_id"], "score": r["score"]} for r in topk
+        ]
+        found = phrase_verified.count()
+    elif mf is not None:
         from pyf_aggregator_spark.search.fallback import (
             drop_tokens_mf_with_found,
         )
@@ -689,7 +770,12 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             tiny.join(filtered_docs.select("doc_id"), "doc_id")
             if clauses else tiny
         )
-        if mf is not None:
+        if phrase_verified is not None:
+            # adjacency-verified membership for the curated ids too —
+            # a pinned doc containing the tokens out of order is a
+            # NON-matching pin (bounded isin over ≤ |curated| ids)
+            m = phrase_verified.filter(F.col("doc_id").isin(curated_ids))
+        elif mf is not None:
             from pyf_aggregator_spark.search.wand import (
                 wand_score_matches_multifield,
             )
@@ -752,7 +838,9 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         # hit-set facets need the match IDS, not just the count: one
         # extra kernel pass emitting the distributed (filtered) match
         # set — still segment-only, aggregated map-side, never collected
-        if mf is not None:
+        if phrase_verified is not None:
+            match_set = phrase_verified.select("doc_id")
+        elif mf is not None:
             match_set = wand_match_ids_multifield(
                 mf, sorted(weights), query, allowed=allowed,
                 mode=mode, slot_terms=slot_terms,

@@ -113,9 +113,8 @@ class FacadeModel:
     def __init__(self, docs: list[dict]):
         self.docs = {d["doc_id"]: dict(d) for d in docs}
         self.doc_cols = list(docs[0].keys())
-        self.single = FieldIndex(
-            {d["doc_id"]: tokenize(d.get("text")) for d in docs}
-        )
+        self.text_tokens = {d["doc_id"]: tokenize(d.get("text")) for d in docs}
+        self.single = FieldIndex(dict(self.text_tokens))
         per_field: dict[str, dict[int, list[str]]] = {f: {} for f in FIVE_FIELDS}
         for d in docs:
             ft = _mf_field_tokens(d)
@@ -212,14 +211,30 @@ class FacadeModel:
         return hits[:MAX_EXPANSIONS]
 
     # ------------------------------------------------------- matching
-    def _match_set(self, slots, mode: str, allowed, mf_weights) -> set[int]:
+    def _adjacent(self, did: int, phrase: list[str]) -> bool:
+        """Independent adjacency derivation: the phrase is a CONTIGUOUS
+        subsequence of the doc's token list (the engine verifies with a
+        separator-class regex over raw text — equivalent under the
+        tokenizer contract, derived differently on purpose)."""
+        toks = self.text_tokens[did]
+        n = len(phrase)
+        return any(
+            toks[i : i + n] == phrase for i in range(len(toks) - n + 1)
+        )
+
+    def _match_set(
+        self, slots, mode: str, allowed, mf_weights, phrase=None
+    ) -> set[int]:
         """Exact membership: a slot (token group) matches when ANY
         member term matches (any queried field, for mf); and-mode
-        requires every group."""
+        requires every group; ``phrase`` additionally requires
+        adjacency in order."""
         n = len(slots)
         out = set()
         for did in self.docs:
             if allowed is not None and did not in allowed:
+                continue
+            if phrase is not None and not self._adjacent(did, phrase):
                 continue
             hit = 0
             for group in slots:
@@ -295,9 +310,9 @@ class FacadeModel:
             acc += best[sid]
         return acc
 
-    def _ranked(self, slots, mode, allowed, mf_weights):
+    def _ranked(self, slots, mode, allowed, mf_weights, phrase=None):
         """→ ([{doc_id, score}] over the FULL match set, found)."""
-        ids = self._match_set(slots, mode, allowed, mf_weights)
+        ids = self._match_set(slots, mode, allowed, mf_weights, phrase)
         rows = [
             {"doc_id": d, "score": rnd(self._score(d, slots, mf_weights))}
             for d in ids
@@ -401,6 +416,13 @@ class FacadeModel:
         terms = tokenize(q)
         num_typos = int(params.get("num_typos", 2))
         infix_mode = str(params.get("infix", "off")).lower()
+        phrase_terms = None
+        if '"' in q:
+            m = re.fullmatch(r'\s*"([^"]+)"\s*', q)
+            phrase_terms = tokenize(m.group(1))
+            terms = phrase_terms
+            num_typos = 0
+            infix_mode = "off"
         if num_typos > 0:
             mapping = self._correct(terms, num_typos, mf)
             if infix_mode == "off":
@@ -412,7 +434,9 @@ class FacadeModel:
             terms = corrected or terms
 
         slot_terms = None
-        if terms and (params.get("prefix") or infix_mode != "off"):
+        if terms and phrase_terms is None and (
+            params.get("prefix") or infix_mode != "off"
+        ):
             vocab = self._vocab_df(mf)
             *fixed, last = terms
             fixed = list(dict.fromkeys(fixed))
@@ -439,6 +463,8 @@ class FacadeModel:
                 terms = sorted({t for s in slots for t in s})
 
         mode = params.get("mode", "or")
+        if phrase_terms is not None:
+            mode = "and"
         allowed = filtered if clauses else None
         eff_slots = (
             slot_terms
@@ -448,7 +474,9 @@ class FacadeModel:
 
         # ------- ranked + sort_by override
         if params.get("sort_by"):
-            ids = self._match_set(eff_slots, mode, allowed, mf_weights)
+            ids = self._match_set(
+                eff_slots, mode, allowed, mf_weights, phrase_terms
+            )
             ordered = self._sort_rows(ids, params["sort_by"])
             rows = ordered[: page * per_page][(page - 1) * per_page :]
             return {
@@ -467,7 +495,9 @@ class FacadeModel:
         group_by = params.get("group_by")
         if group_by:
             limit = int(params.get("group_limit", 1))
-            scored, _ = self._ranked(eff_slots, mode, allowed, mf_weights)
+            scored, _ = self._ranked(
+                eff_slots, mode, allowed, mf_weights, phrase_terms
+            )
             groups: dict = {}
             for r in scored:
                 gv = self.docs[r["doc_id"]].get(group_by)
@@ -507,7 +537,10 @@ class FacadeModel:
         n_curated = len(hidden | set(pinned.values()))
         k = page * per_page + n_curated
         drop_threshold = int(params.get("drop_tokens_threshold", 0))
-        if slot_terms is None and drop_threshold and mode == "and":
+        if (
+            slot_terms is None and drop_threshold and mode == "and"
+            and phrase_terms is None
+        ):
             cascade = list(terms)
             while True:
                 eff = [[t] for t in dict.fromkeys(cascade)]
@@ -519,7 +552,9 @@ class FacadeModel:
             eff_slots = [[t] for t in dict.fromkeys(terms)]
             all_rows = rows_all[:k]
         else:
-            rows_all, found = self._ranked(eff_slots, mode, allowed, mf_weights)
+            rows_all, found = self._ranked(
+                eff_slots, mode, allowed, mf_weights, phrase_terms
+            )
             all_rows = rows_all[:k]
 
         if pinned or hidden:
@@ -529,7 +564,7 @@ class FacadeModel:
                 if d in self.docs and (not clauses or d in filtered)
             }
             matchable = self._match_set(
-                eff_slots, mode, probe_allowed, mf_weights
+                eff_slots, mode, probe_allowed, mf_weights, phrase_terms
             )
             curated_scores = {
                 d: rnd(self._score(d, eff_slots, mf_weights))
@@ -549,7 +584,9 @@ class FacadeModel:
             hits.append(hit)
         facet_counts = []
         if params.get("facet_by"):
-            ids = self._match_set(eff_slots, mode, allowed, mf_weights)
+            ids = self._match_set(
+                eff_slots, mode, allowed, mf_weights, phrase_terms
+            )
             facet_counts = self._facets(
                 params.get("facet_by"), ids,
                 params.get("facet_query"), max_facet_values,

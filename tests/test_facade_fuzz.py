@@ -65,6 +65,12 @@ def _quote(v: str) -> str:
     return f"`{v}`" if ("&" in v or "," in v) else v
 
 
+def _tok(text: str) -> list[str]:
+    import re as _re
+
+    return [t for t in _re.split(r"[\s.\-_@/]+", text.lower()) if t]
+
+
 def _draw(rng: random.Random, i: int, docs: list[dict]):
     """→ (facade params, structured clauses for the model). Draw ``i``
     forces a feature family so every branch is exercised per corpus."""
@@ -73,6 +79,17 @@ def _draw(rng: random.Random, i: int, docs: list[dict]):
 
     if i % 10 == 9:
         p["q"] = rng.choice(["*", ".", ""])
+    elif i % 10 == 0:
+        # quoted phrase: a real adjacent bigram/trigram from a doc
+        # (hits) or a random pair (usually zero hits)
+        if rng.random() < 0.7:
+            cands = [d for d in docs if len(d["text"].split()) >= 3]
+            toks = _tok(rng.choice(cands)["text"]) if cands else ["row", "sort"]
+            n = min(len(toks) - 1, rng.choice([2, 2, 3]))
+            start = rng.randrange(max(1, len(toks) - n))
+            p["q"] = '"' + " ".join(toks[start : start + n]) + '"'
+        else:
+            p["q"] = '"' + " ".join(rng.sample(VOCAB, 2)) + '"'
     else:
         k = rng.randint(1, 3)
         pool = VOCAB + QUERY_EXTRAS

@@ -917,3 +917,90 @@ def test_search_pinned_matching_doc_below_overfetch_keeps_score(
     assert res["hits"][0]["document"]["doc_id"] == tail["document"]["doc_id"]
     assert res["hits"][0]["text_match"] == tail["text_match"]  # not None
     assert res["found"] == deep["found"]  # it matched: found unchanged
+
+
+# ---------------- quoted-phrase q through the facade (r5 routing)
+
+
+def test_search_quoted_phrase_matches_phrase_topk(spark, sf_dir):
+    """Quoted q routes to the adjacency-verified match set — rank-
+    identical to the phrase engine (and NOT to the unquoted OR query:
+    typo correction must not strip the quotes and degrade to terms)."""
+    from pyf_aggregator_spark.operators.fulltext_extra import documents_index
+    from pyf_aggregator_spark.search.phrase import phrase_topk
+
+    res = search(spark, sf_dir, {"q": '"spark vector"', "per_page": 10})
+    direct = phrase_topk(
+        documents_index(spark, sf_dir), "spark vector", k=10
+    ).collect()
+    assert [
+        (h["document"]["doc_id"], h["text_match"]) for h in res["hits"]
+    ] == [(r["doc_id"], r["score"]) for r in direct]
+    # found = exact verified match count, strictly under the OR count
+    loose = search(
+        spark, sf_dir, {"q": "spark vector", "per_page": 10, "num_typos": 0}
+    )
+    assert 0 < res["found"] < loose["found"]
+
+
+def test_search_quoted_phrase_filters_facets_and_sort(spark, sf_dir):
+    flt = search(
+        spark, sf_dir,
+        {"q": '"spark vector"', "per_page": 50, "filter_by": "lang:=en",
+         "facet_by": "lang"},
+    )
+    unf = search(spark, sf_dir, {"q": '"spark vector"', "per_page": 50})
+    assert 0 < flt["found"] < unf["found"]
+    assert all(h["document"]["lang"] == "en" for h in flt["hits"])
+    # the facet hit set is the verified match set
+    assert flt["facet_counts"][0]["counts"] == [
+        {"value": "en", "count": flt["found"]}
+    ]
+    srt = search(
+        spark, sf_dir,
+        {"q": '"spark vector"', "per_page": 50, "sort_by": "n_chars:desc"},
+    )
+    assert srt["found"] == unf["found"]
+    lens = [h["document"]["n_chars"] for h in srt["hits"]]
+    assert lens == sorted(lens, reverse=True)
+
+
+def test_search_quoted_phrase_curation_and_group(spark, sf_dir):
+    base = search(spark, sf_dir, {"q": '"spark vector"', "per_page": 10})
+    top = [h["document"]["doc_id"] for h in base["hits"]]
+    cur = search(
+        spark, sf_dir,
+        {"q": '"spark vector"', "per_page": 10,
+         "hidden_hits": str(top[0])},
+    )
+    assert top[0] not in [h["document"]["doc_id"] for h in cur["hits"]]
+    assert cur["found"] == base["found"] - 1
+    g = search(
+        spark, sf_dir,
+        {"q": '"spark vector"', "group_by": "lang", "group_limit": 2,
+         "per_page": 10},
+    )
+    assert g["found_docs"] == base["found"]
+    assert all(h["rank_in_group"] <= 2 for h in g["grouped_hits"])
+
+
+def test_search_quoted_phrase_rejects_bad_combos(spark, sf_dir):
+    with pytest.raises(ValueError):  # mixed quoted + loose tokens
+        search(spark, sf_dir, {"q": '"spark vector" window'})
+    with pytest.raises(ValueError):  # two phrases
+        search(spark, sf_dir, {"q": '"spark" "vector"'})
+    with pytest.raises(ValueError):  # phrase × query_by
+        search(
+            spark, sf_dir,
+            {"q": '"spark vector"', "query_by": "title,main_content"},
+        )
+
+
+def test_search_quoted_phrase_is_exact_no_typo_rescue(spark, sf_dir):
+    """Quoting disables typo correction (Typesense: quoted = exact) —
+    a misspelled quoted token returns zero hits even at num_typos=2."""
+    res = search(
+        spark, sf_dir, {"q": '"spakr vector"', "per_page": 10,
+                        "num_typos": 2},
+    )
+    assert res["found"] == 0 and res["hits"] == []
