@@ -530,11 +530,13 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     # phrase: candidates-then-verify on the segment engine (phrase.py
     # plan, here composed with the facade) — the exact AND match set
     # scored in one kernel pass, adjacency verified with one JVM regex
-    # over the CANDIDATES only (never the corpus), then fed to every
-    # downstream path (sort_by / group_by / top-k+found / facets /
-    # curation probe) in place of the kernel match set. Each action
-    # over it re-runs the term-pruned pass — same per-action cost shape
-    # as the non-phrase paths' extra match-ids pass.
+    # that Catalyst pushes INTO the docs scan (one shuffle-free pass
+    # over the text column; see phrase.py's plan note + the
+    # test_plans.py audit), then fed to every downstream path (sort_by
+    # / group_by / top-k+found / facets / curation probe) in place of
+    # the kernel match set. Each action over it re-runs the term-pruned
+    # pass — same per-action cost shape as the non-phrase paths' extra
+    # match-ids pass.
     phrase_verified = None
     if phrase_terms is not None:
         from pyf_aggregator_spark.search.phrase import phrase_regex

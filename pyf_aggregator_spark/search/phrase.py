@@ -15,11 +15,19 @@ candidates-then-verify (the same shape as every LSH family here):
   3. rank the survivors by their BM25 score (same rounding/tie-break
      as every other query).
 
-At 10^12 turns step 2 touches only the intersection set — for multi-
-term phrases that set is tiny relative to the corpus, and the join is
-doc_id-equi (AQE broadcasts when small). A positional index is the
-classic alternative; the candidates-then-verify plan needs no segment
-format change and keeps the scan term-pruned.
+Physical plan honesty (audited in tests/test_plans.py): Catalyst
+pushes the adjacency regex BELOW the join onto the docs scan — the
+verify is one shuffle-free linear pass over the text column the scan
+was reading anyway (regex CPU ≈ tokenization CPU), and the regex-
+surviving side joins the scored candidates on doc_id (AQE picks
+broadcast when the phrase is rare, sort-merge when common). That is
+the better 10^12-turn shape than verify-after-join, which would
+shuffle the corpus-sized docs side to evaluate the same regex on
+fewer rows. The inherent cost of positionless phrase search is this
+one corpus-text pass per phrase query; a positional index is the
+classic alternative and would change the segment format — runtime
+bloom-filter joins (spark.sql.optimizer.runtime.bloomFilter) can
+prune the docs scan by candidate doc_id without either.
 """
 
 from __future__ import annotations

@@ -217,3 +217,38 @@ def test_typo_variant_join_broadcasts_query_side(spark, tmp_path):
     dels = spark.read.parquet(f"{d}/{TYPO_DIR}")
     joined = dels.join(F.broadcast(qdf), "variant")
     assert "BroadcastHashJoin" in plan_of(joined)
+
+
+def test_phrase_verify_regex_rides_the_docs_scan(spark, sf):
+    """The adjacency RLIKE must sit BELOW the join, fused with the docs
+    scan's filter (one shuffle-free corpus-text pass — phrase.py's plan
+    note): the Filter block containing RLIKE reads only doc_id/text,
+    never the score column, and the docs scan is pruned to those two
+    columns."""
+    from pyf_aggregator_spark.operators.fulltext_extra import (
+        documents_segment_index,
+    )
+    from pyf_aggregator_spark.registry import load
+    from pyf_aggregator_spark.search.phrase import phrase_regex
+    from pyf_aggregator_spark.search.wand import wand_score_matches
+
+    idx = documents_segment_index(spark, sf)
+    docs = load(spark, sf, "documents")
+    pv = (
+        wand_score_matches(idx, "spark vector", mode="and")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .filter(F.col("text").rlike(phrase_regex(["spark", "vector"])))
+        .select("doc_id", "score")
+    )
+    plan = plan_of(pv)
+    # detail blocks are separated by blank lines in formatted explain
+    rlike_blocks = [
+        b for b in plan.split("\n\n") if "RLIKE" in b and "Filter" in b
+    ]
+    assert rlike_blocks, "adjacency RLIKE missing from the plan"
+    assert all("score" not in b for b in rlike_blocks), (
+        "RLIKE evaluated above the join (score column in scope) — the "
+        "verify would shuffle the corpus instead of riding the scan"
+    )
+    # the docs scan reads exactly the two verify columns
+    assert "struct<doc_id:bigint,text:string>" in plan.replace(" ", "")
