@@ -244,3 +244,60 @@ def test_facade_fuzz_matches_model(spark, corpus):
         got = search(spark, sf_dir, dict(params))
         want = model.search({**params, "_clauses": clauses})
         _assert_same(got, want, f"seed={seed} draw={i} params={params}")
+
+
+def test_batch_fuzz_matches_model(spark, corpus):
+    """The batched kernel (shared decodes, per-query allow-sets riding
+    one shuffle, one batched typo-correction join) must answer each
+    query exactly as the model answers it alone."""
+    from pyf_aggregator_spark.operators.fulltext_extra import (
+        documents_segment_index,
+    )
+    from pyf_aggregator_spark.search.wand import wand_topk_batch
+    from facade_model import tokenize
+
+    sf_dir, model, docs, seed = corpus
+    rng = random.Random(seed * 77 + 5)
+    idx = documents_segment_index(spark, sf_dir)
+    num_typos = rng.choice([0, 2])
+    queries, expected = [], {}
+    for qi in range(6):
+        toks = [
+            rng.choice(VOCAB + QUERY_EXTRAS)
+            for _ in range(rng.randint(1, 3))
+        ]
+        mode = rng.choice(["or", "and"])
+        k = rng.randint(3, 8)
+        q = {"query_id": f"q{qi}", "query": " ".join(toks),
+             "mode": mode, "k": k}
+        allowed_ids = None
+        if rng.random() < 0.5:
+            lang = rng.choice(["en", "de", "es"])
+            allowed_ids = {d["doc_id"] for d in docs if d["lang"] == lang}
+            q["allowed"] = spark.createDataFrame(
+                [(i,) for i in sorted(allowed_ids)], "doc_id long"
+            )
+        queries.append(q)
+        # model: single-query contract (batch == N independent queries)
+        terms = tokenize(q["query"])
+        if num_typos:
+            mapping = model._correct(terms, num_typos, mf=False)
+            corrected = [
+                mapping[t] for t in terms if mapping.get(t) is not None
+            ]
+            terms = corrected or terms
+        slots = [[t] for t in dict.fromkeys(terms)]
+        rows, _found = model._ranked(slots, mode, allowed_ids, None)
+        expected[q["query_id"]] = [
+            (r["doc_id"], r["score"]) for r in rows[:k]
+        ]
+    got: dict = {q["query_id"]: [] for q in queries}
+    for r in wand_topk_batch(idx, queries, num_typos=num_typos).orderBy(
+        "query_id", "rank"
+    ).collect():
+        got[r["query_id"]].append((r["doc_id"], r["score"]))
+    for qid in expected:
+        assert got[qid] == expected[qid], (
+            f"seed={seed} typos={num_typos} {qid}: "
+            f"{got[qid]} != {expected[qid]}"
+        )
