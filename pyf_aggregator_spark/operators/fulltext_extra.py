@@ -360,26 +360,75 @@ def grouped_search(
     "ft_grouped_search_top2_per_lang",
     f"""
     WITH scored AS ({osql.bm25_topk_sql("spark vector window", 10_000_000, "or").strip()})
-    SELECT lang, rank_in_group, doc_id, score FROM (
+    SELECT 'ranked' AS branch, lang AS gkey, rank_in_group, doc_id,
+           score AS metric FROM (
       SELECT d.lang, t.doc_id, t.score,
              row_number() OVER (
                PARTITION BY d.lang ORDER BY t.score DESC, t.doc_id ASC
              ) AS rank_in_group
       FROM scored t JOIN documents d USING (doc_id)
     ) WHERE rank_in_group <= 2
-    ORDER BY lang, rank_in_group
+    UNION ALL
+    SELECT 'walk' AS branch, source AS gkey, rank_in_group, doc_id,
+           CAST(group_found AS DOUBLE) AS metric
+    FROM (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (
+               PARTITION BY d.source ORDER BY d.doc_id ASC
+             ) AS rank_in_group,
+             count(*) OVER (PARTITION BY d.source) AS group_found
+      FROM documents d WHERE d.lang = 'en'
+    ) WHERE rank_in_group <= 2
+    ORDER BY branch, gkey, rank_in_group
     """,
 )
 def ft_grouped_search_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """group_limit = 2 on the SEGMENT engine (the reference's grouped
-    search pages up to group_limit hits per group, db.py:266-290):
-    EXACT over the full match set (distributed score-matches kernel →
-    window top-2 per lang) — the oracle replays the full scored set,
-    not a candidate pool, so a group whose best hit ranks below any
-    cap is still graded. A pytest gate cross-checks the
-    DataFrame-engine twin."""
-    return grouped_search(
+    """Grouped search, both reference surfaces in one labeled row:
+
+    - ``ranked``: group_limit = 2 on the SEGMENT engine (db.py:266-290
+      grouped search) — EXACT over the full match set (distributed
+      score-matches kernel → window top-2 per lang); the oracle replays
+      the full scored set, not a candidate pool, so a group whose best
+      hit ranks below any cap is still graded. A pytest gate
+      cross-checks the DataFrame-engine twin.
+    - ``walk``: the reference's maintenance walk (db.py:266-290
+      get_unique_package_names and the three enrichers: q="*" +
+      filter_by + group_by + group_limit, paged by GROUPS until a
+      short page) driven END-TO-END through the facade — group
+      membership, within-group rank, per-group found and the paging
+      loop's termination are all part of the value hash. The oracle
+      replays it with independent window SQL."""
+    from pyf_aggregator_spark.search.api import search as facade_search
+
+    ranked = grouped_search(
         spark, sf_dir, "spark vector window", "lang", group_limit=2
+    ).select(
+        F.lit("ranked").alias("branch"),
+        F.col("lang").alias("gkey"),
+        "rank_in_group",
+        "doc_id",
+        F.col("score").alias("metric"),
+    )
+    rows, page, per_page = [], 1, 7
+    while True:
+        res = facade_search(spark, sf_dir, {
+            "q": "*", "filter_by": "lang:=en", "group_by": "source",
+            "group_limit": 2, "per_page": per_page, "page": page,
+        })
+        for g in res["grouped_hits"]:
+            for rank, h in enumerate(g["hits"], 1):
+                rows.append(
+                    (g["group_key"][0], rank,
+                     h["document"]["doc_id"], float(g["found"]))
+                )
+        if len(res["grouped_hits"]) < per_page:
+            break
+        page += 1
+    walk = spark.createDataFrame(
+        rows, "gkey string, rank_in_group int, doc_id long, metric double"
+    ).select(F.lit("walk").alias("branch"), "*")
+    return ranked.unionByName(walk).orderBy(
+        "branch", "gkey", "rank_in_group"
     )
 
 

@@ -80,8 +80,19 @@ applies silently) and returns a Typesense-shaped response dict:
 
 Response: {"found", "page", "hits": [{"document", "text_match"}],
 "facet_counts": [{"field_name", "counts": [{"value", "count"}]}],
-"grouped_hits" + "found_groups" when group_by ("found" stays the
-match-set size; groups enumerate EXACTLY from the full match set)}.
+"request_params": {"collection_name", "per_page", "q"} (echoed —
+the downloads enricher reads results["request_params"]["per_page"]
+to page, downloads.py:62), and when group_by: "grouped_hits" in
+Typesense's NESTED shape — [{"group_key": [value], "found":
+per-group match count, "hits": [{"document", "text_match"}]}] —
+the exact shape the reference walks (db.py:282-288 and the three
+enrichers iterate ``for group in r["grouped_hits"]: for item in
+group["hits"]: item["document"]``), plus "found_groups" / top-level
+"found" = match-set size; groups enumerate EXACTLY from the full
+match set. group_by composes with q="*" too (the reference's
+maintenance walk, db.py:266-290: q="*", group_by=name,
+group_limit=1, paged by groups), ordered by sort_by when given else
+doc_id asc.
 
 Every component keeps its scale path: the filter rides into the WAND
 kernel as an allow-set, facets aggregate the term-pruned match set
@@ -268,6 +279,57 @@ def _curate_rows(
     return out, found
 
 
+def _grouped_response(
+    spark: SparkSession, doc_base: DataFrame, doc_dict, group_by: str,
+    page_first, page_rows, totals, page: int, per_page: int, ranked: bool,
+) -> dict:
+    """Assemble Typesense's NESTED grouped response from the bounded
+    page rows: ``grouped_hits = [{"group_key": [v], "found": per-group
+    match count, "hits": [{"document", "text_match"}]}]`` — the shape
+    every reference consumer walks (db.py:282-288, downloads.py:71-73,
+    health_calculator.py:61-63, github.py:190-192: ``for group in
+    r["grouped_hits"]: for item in group["hits"]: item["document"]``).
+    Hydration broadcast-joins the ≤ page×group_limit hit ids only,
+    against the include_fields-pruned projection."""
+    page_groups = [r[group_by] for r in page_first]
+    order = {gv: i for i, gv in enumerate(page_groups)}
+    rows_sorted = sorted(
+        page_rows, key=lambda r: (order[r[group_by]], r["rank_in_group"])
+    )
+    ids = sorted({r["doc_id"] for r in rows_sorted})
+    hydrated = {}
+    if ids:
+        tiny = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        hydrated = {
+            r["doc_id"]: r.asDict()
+            for r in F.broadcast(tiny).join(doc_base, "doc_id").collect()
+        }
+    grouped, by_gv = [], {}
+    for r in page_first:
+        obj = {
+            "group_key": [r[group_by]],
+            "found": int(r["group_found"]),
+            "hits": [],
+        }
+        grouped.append(obj)
+        by_gv[r[group_by]] = obj
+    for r in rows_sorted:
+        d = doc_dict(dict(hydrated.get(r["doc_id"], {"doc_id": r["doc_id"]})))
+        by_gv[r[group_by]]["hits"].append(
+            {"document": d, "text_match": r["score"] if ranked else None}
+        )
+    return {
+        # "found" = match-set size (documents); newer Typesense (0.25+)
+        # names the document total "found_docs" — both spellings ride
+        # along so either client reading works
+        "found": int(totals["docs"]),
+        "found_docs": int(totals["docs"]),
+        "found_groups": int(totals["groups"]),
+        "page": page,
+        "grouped_hits": grouped,
+    }
+
+
 def _apply_filters(docs: DataFrame, clauses) -> DataFrame:
     for field, vals, neg in clauses:
         col = F.col(field).cast("string")
@@ -312,6 +374,12 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         )
     clauses = parse_filter_by(params.get("filter_by"))
     max_facet_values = int(params.get("max_facet_values", 10))
+    # echoed back on every response (Typesense does; the downloads
+    # enricher reads results["request_params"]["per_page"] to page,
+    # downloads.py:62)
+    request_params = {
+        "collection_name": "documents", "per_page": per_page, "q": q,
+    }
     docs = load(spark, sf_dir, "documents")
     filtered_docs = _apply_filters(docs, clauses)
     # include_fields (db.py:270,329,390 — the reference's paged walks
@@ -357,8 +425,73 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
 
     # ---------------- match-all: filter + sort + page, no scoring
     if q == "*" or not tokenize_py(q):
-        out = filtered_docs
         sort_by = params.get("sort_by")
+        group_by = params.get("group_by")
+        if group_by:
+            # the reference's maintenance walk (db.py:266-290:
+            # get_unique_package_names pages q="*" + group_by=name +
+            # group_limit=1; the downloads/health/github enrichers do
+            # the same over name_sortable): groups enumerate from the
+            # FULL filtered corpus, one window pass keyed by the group
+            # column; pages GROUPS ordered by each group's first hit
+            # under the match-all ordering (sort_by else doc_id asc);
+            # every collect bounded by per_page × group_limit.
+            from pyspark.sql import Window
+
+            if group_by not in docs.columns:
+                raise ValueError(f"unknown group_by field: {group_by}")
+            limit = int(params.get("group_limit", 1))
+            order_cols = (
+                _sort_cols(sort_by, docs) if sort_by else [F.asc("doc_id")]
+            )
+            sort_fields = [
+                k.partition(":")[0].strip()
+                for k in (sort_by or "").split(",")
+                if k.strip()
+            ]
+            keep = list(dict.fromkeys(["doc_id", group_by, *sort_fields]))
+            wg = Window.partitionBy(group_by).orderBy(*order_cols)
+            g = (
+                filtered_docs.select(*keep)
+                .withColumn("rank_in_group", F.row_number().over(wg))
+                .withColumn(
+                    "group_found",
+                    F.count("*").over(Window.partitionBy(group_by)),
+                )
+                .filter(F.col("rank_in_group") <= limit)
+            ).persist()
+            try:
+                first = g.filter(F.col("rank_in_group") == 1)
+                totals = first.agg(
+                    F.coalesce(F.sum("group_found"), F.lit(0)).alias("docs"),
+                    F.count("*").alias("groups"),
+                ).collect()[0]
+                page_first = (
+                    first.orderBy(*order_cols).limit(page * per_page).collect()
+                )[(page - 1) * per_page :]
+                page_groups = [r[group_by] for r in page_first]
+                if limit > 1 and page_groups:
+                    # NULL is a legitimate group (isin alone is 3VL-NULL
+                    # and would drop the null group's rows)
+                    non_null = [gv for gv in page_groups if gv is not None]
+                    cond = (
+                        F.col(group_by).isin(non_null)
+                        if non_null else F.lit(False)
+                    )
+                    if any(gv is None for gv in page_groups):
+                        cond = cond | F.col(group_by).isNull()
+                    page_rows = g.filter(cond).collect()
+                else:
+                    page_rows = page_first
+            finally:
+                g.unpersist()
+            resp = _grouped_response(
+                spark, _doc_cols(docs), _doc_dict, group_by,
+                page_first, page_rows, totals, page, per_page, ranked=False,
+            )
+            resp["request_params"] = request_params
+            return resp
+        out = filtered_docs
         if sort_by:
             out = out.orderBy(*_sort_cols(sort_by, docs))
         else:
@@ -385,6 +518,7 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
                 params.get("facet_by"), filtered_docs.select("*"),
                 params.get("facet_query"), max_facet_values,
             ),
+            "request_params": request_params,
         }
 
     # ---------------- quoted phrase (Typesense "exact match" in q)
@@ -557,6 +691,13 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     # beyond the k-row page.
     sort_by = params.get("sort_by")
     if sort_by:
+        if params.get("group_by"):
+            # supported on q="*" (the reference's walks) but not on
+            # ranked queries — explicit, not silently sort-only
+            raise ValueError(
+                "sort_by + group_by combine on match-all (q='*') "
+                "queries only"
+            )
         # slot_terms rides into the match-ids kernel so the sort_by
         # match set uses the SAME membership as the slotted hits/found
         # (ADVICE r4: the flat expansion required every completion in
@@ -593,6 +734,7 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
                 params.get("facet_by"), docs.join(match, "doc_id"),
                 params.get("facet_query"), max_facet_values,
             ),
+            "request_params": request_params,
         }
 
     group_by = params.get("group_by")
@@ -669,26 +811,12 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
                 page_rows = page_first
         finally:
             g.unpersist()
-        order = {gv: i for i, gv in enumerate(page_groups)}
-        hits = []
-        for r in sorted(
-            page_rows,
-            key=lambda r: (order[r[group_by]], r["rank_in_group"]),
-        ):
-            d = r.asDict()
-            d.pop("group_found", None)
-            hits.append(d)
-        return {
-            # "found" = match-set size (documents); newer Typesense
-            # (0.25+) names the document total "found_docs" and reports
-            # the group count as "found" — both spellings are included
-            # so either client reading works
-            "found": int(totals["docs"]),
-            "found_docs": int(totals["docs"]),
-            "found_groups": int(totals["groups"]),
-            "page": page,
-            "grouped_hits": hits,
-        }
+        resp = _grouped_response(
+            spark, _doc_cols(docs), _doc_dict, group_by,
+            page_first, page_rows, totals, page, per_page, ranked=True,
+        )
+        resp["request_params"] = request_params
+        return resp
 
     # curation over-fetch: hidden docs in the top-k are skipped and
     # pinned docs displace organics, so k grows by the curated-list
@@ -860,6 +988,7 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         "page": page,
         "hits": hits,
         "facet_counts": facet_counts,
+        "request_params": request_params,
     }
 
 

@@ -385,6 +385,43 @@ class FacadeModel:
 
         # ------- match-all
         if q == "*" or not tokenize(q):
+            group_by = params.get("group_by")
+            if group_by:
+                # the reference's maintenance walk: q="*" + group_by
+                # (+ optional sort_by); groups ordered by first
+                # occurrence in the global match-all ordering, nested
+                # Typesense grouped_hits shape
+                limit = int(params.get("group_limit", 1))
+                ordered = self._sort_rows(filtered, params.get("sort_by"))
+                groups: dict = {}
+                order_keys = []
+                for did in ordered:
+                    gv = self.docs[did].get(group_by)
+                    if gv not in groups:
+                        groups[gv] = []
+                        order_keys.append(gv)
+                    groups[gv].append(did)
+                found_docs = len(ordered)
+                page_groups = order_keys[: page * per_page][
+                    (page - 1) * per_page :
+                ]
+                return {
+                    "found": found_docs,
+                    "found_docs": found_docs,
+                    "found_groups": len(groups),
+                    "page": page,
+                    "grouped_hits": [
+                        {
+                            "group_key": [gv],
+                            "found": len(groups[gv]),
+                            "hits": [
+                                {"document": doc_dict(d), "text_match": None}
+                                for d in groups[gv][:limit]
+                            ],
+                        }
+                        for gv in page_groups
+                    ],
+                }
             ordered = self._sort_rows(filtered, params.get("sort_by"))
             found = len(ordered)
             rows = ordered[: page * per_page][(page - 1) * per_page :]
@@ -514,23 +551,25 @@ class FacadeModel:
             page_groups = [
                 gv for gv, _ in firsts[: page * per_page][(page - 1) * per_page :]
             ]
-            hits = []
-            for gv in page_groups:
-                for rank, r in enumerate(groups[gv][:limit], 1):
-                    hits.append(
-                        {
-                            group_by: gv,
-                            "rank_in_group": rank,
-                            "doc_id": r["doc_id"],
-                            "score": r["score"],
-                        }
-                    )
             return {
                 "found": found_docs,
                 "found_docs": found_docs,
                 "found_groups": len(groups),
                 "page": page,
-                "grouped_hits": hits,
+                "grouped_hits": [
+                    {
+                        "group_key": [gv],
+                        "found": len(groups[gv]),
+                        "hits": [
+                            {
+                                "document": doc_dict(r["doc_id"]),
+                                "text_match": r["score"],
+                            }
+                            for r in groups[gv][:limit]
+                        ],
+                    }
+                    for gv in page_groups
+                ],
             }
 
         # ------- ranked top-k (+ drop cascade + curation)

@@ -79,6 +79,15 @@ def _draw(rng: random.Random, i: int, docs: list[dict]):
 
     if i % 10 == 9:
         p["q"] = rng.choice(["*", ".", ""])
+        if rng.random() < 0.5:
+            # the reference's maintenance walk: q="*" + group_by
+            # (db.py:266-290), optionally sorted
+            p["group_by"] = rng.choice(["lang", "source"])
+            p["group_limit"] = rng.randint(1, 3)
+            if rng.random() < 0.5:
+                p["sort_by"] = rng.choice(
+                    ["n_chars:desc", "n_chars:asc,lang:asc"]
+                )
     elif i % 10 == 0:
         # quoted phrase: a real adjacent bigram/trigram from a doc
         # (hits) or a random pair (usually zero hits)

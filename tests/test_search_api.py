@@ -120,8 +120,8 @@ def test_search_grouped_respects_filter(spark, sf_dir):
             "group_limit": 2, "num_typos": 0}
     unfiltered = search(spark, sf_dir, dict(base))
     filtered = search(spark, sf_dir, dict(base, filter_by="lang:=en"))
-    assert {r["lang"] for r in unfiltered["grouped_hits"]} != {"en"}
-    assert {r["lang"] for r in filtered["grouped_hits"]} == {"en"}
+    assert {g["group_key"][0] for g in unfiltered["grouped_hits"]} != {"en"}
+    assert {g["group_key"][0] for g in filtered["grouped_hits"]} == {"en"}
     # and the filtered groups agree with the directly-invoked engine
     from pyf_aggregator_spark.operators.fulltext_extra import grouped_search
     from pyf_aggregator_spark.registry import load
@@ -136,10 +136,14 @@ def test_search_grouped_respects_filter(spark, sf_dir):
         allowed=allowed,
     ).collect()
     # same rows; the facade orders groups by best-hit score (Typesense
-    # grouped order), the engine API by group key — compare as sets
-    assert sorted(
-        map(tuple, (r.asDict().values() for r in direct))
-    ) == sorted(map(tuple, (h.values() for h in filtered["grouped_hits"])))
+    # grouped order) and nests hits per group, the engine API emits
+    # flat (group, rank, doc_id, score) rows — compare as sets
+    flat = {
+        (g["group_key"][0], rank, h["document"]["doc_id"], h["text_match"])
+        for g in filtered["grouped_hits"]
+        for rank, h in enumerate(g["hits"], 1)
+    }
+    assert {tuple(r.asDict().values()) for r in direct} == flat
 
 
 def test_search_ranked_no_second_engine_and_exact_found(spark, sf_dir, monkeypatch):
@@ -244,9 +248,9 @@ def test_search_query_by_grouped_faceted_sorted(spark, sf_dir):
           "query_by_weights": "10,10,5,3,1", "num_typos": 0}
     g = search(spark, sf_dir, dict(qb, group_by="lang", group_limit=2))
     assert g["grouped_hits"] and all(
-        r["rank_in_group"] <= 2 for r in g["grouped_hits"]
+        1 <= len(grp["hits"]) <= 2 for grp in g["grouped_hits"]
     )
-    assert len({r["lang"] for r in g["grouped_hits"]}) > 1
+    assert len({grp["group_key"][0] for grp in g["grouped_hits"]}) > 1
     f = search(spark, sf_dir, dict(qb, facet_by="lang", per_page=5))
     fc = {c["value"]: c["count"] for c in f["facet_counts"][0]["counts"]}
     assert sum(fc.values()) == f["found"] > 0
@@ -283,7 +287,7 @@ def test_search_typo_highlight_and_grouped(spark, sf_dir):
         {"q": "spark vector window", "group_by": "lang", "group_limit": 2},
     )
     assert g["grouped_hits"] and all(
-        r["rank_in_group"] <= 2 for r in g["grouped_hits"]
+        1 <= len(grp["hits"]) <= 2 for grp in g["grouped_hits"]
     )
 
 
@@ -543,13 +547,16 @@ def test_grouped_search_sees_groups_below_candidate_cap(spark, tmp_path):
         {"q": "needle", "group_by": "grp", "group_limit": 1,
          "num_typos": 0},
     )
-    groups = {r["grp"] for r in res["grouped_hits"]}
+    groups = {g["group_key"][0] for g in res["grouped_hits"]}
     assert groups == {"big", "rare"}
     assert res["found"] == 241          # exact match-set size
     assert res["found_groups"] == 2
     # rank-1 hit of 'rare' is its only match, ranked ~241 globally
-    rare = [r for r in res["grouped_hits"] if r["grp"] == "rare"]
-    assert len(rare) == 1 and rare[0]["doc_id"] == 240
+    rare = [
+        g for g in res["grouped_hits"] if g["group_key"][0] == "rare"
+    ]
+    assert len(rare) == 1 and rare[0]["found"] == 1
+    assert rare[0]["hits"][0]["document"]["doc_id"] == 240
 
 
 def test_grouped_found_matches_ungrouped_found(spark, sf_dir):
@@ -562,8 +569,10 @@ def test_grouped_found_matches_ungrouped_found(spark, sf_dir):
     )
     assert grouped["found"] == plain["found"] > 0
     assert grouped["found_groups"] == len(
-        {r["lang"] for r in grouped["grouped_hits"]}
+        {g["group_key"][0] for g in grouped["grouped_hits"]}
     )
+    # per-group found sums to the match-set size (Typesense identity)
+    assert sum(g["found"] for g in grouped["grouped_hits"]) == plain["found"]
 
 
 def test_max_facet_values_caps_listed_values(spark, sf_dir):
@@ -595,23 +604,16 @@ def test_search_grouped_pages_groups_by_best_hit(spark, sf_dir):
     p2 = search(spark, sf_dir, dict(base, per_page=3, page=2))
     n_groups = full["found_groups"]
     assert n_groups > 6  # sf0.001 has 20 sources
-    assert {r["source"] for r in p1["grouped_hits"]} == {
-        r["source"] for r in full["grouped_hits"][: len(p1["grouped_hits"])]
-    }
-    assert p1["grouped_hits"] == full["grouped_hits"][: len(p1["grouped_hits"])]
-    off = len(p1["grouped_hits"])
-    assert p2["grouped_hits"] == full["grouped_hits"][
-        off : off + len(p2["grouped_hits"])
-    ]
+    # grouped_hits are GROUP objects: page 1 = the first 3 groups of
+    # the full listing, page 2 the next 3
+    assert len(p1["grouped_hits"]) == 3
+    assert p1["grouped_hits"] == full["grouped_hits"][:3]
+    assert p2["grouped_hits"] == full["grouped_hits"][3:6]
     assert p1["found"] == p2["found"] == full["found"]
     assert p1["found_groups"] == p2["found_groups"] == n_groups
-    # groups arrive best-hit-first
-    best = [
-        max(
-            (r["score"] for r in full["grouped_hits"] if r["source"] == g),
-        )
-        for g in dict.fromkeys(r["source"] for r in full["grouped_hits"])
-    ]
+    # groups arrive best-hit-first (hits within a group are rank-ordered,
+    # so the group's best hit is its first)
+    best = [g["hits"][0]["text_match"] for g in full["grouped_hits"]]
     assert best == sorted(best, reverse=True)
 
 
