@@ -219,7 +219,17 @@ def _assert_same(got: dict, want: dict, ctx: str) -> None:
     )
 
 
-@pytest.fixture(scope="module", params=[7, 23, 41])
+def _corpus_seeds() -> list[int]:
+    """Default CI seeds, extendable for soak runs: PYFAGG_FUZZ_SEEDS
+    ="7,23,41,101,..." runs the same differential harness over more
+    corpora without touching the committed defaults."""
+    env = os.environ.get("PYFAGG_FUZZ_SEEDS")
+    if env:
+        return [int(s) for s in env.split(",") if s.strip()]
+    return [7, 23, 41]
+
+
+@pytest.fixture(scope="module", params=_corpus_seeds())
 def corpus(request, spark, tmp_path_factory):
     seed = request.param
     docs = _gen_docs(random.Random(seed))
@@ -242,7 +252,7 @@ def corpus(request, spark, tmp_path_factory):
         os.environ["PYFAGG_SEG_CACHE"] = old
 
 
-DRAWS = 30
+DRAWS = int(os.environ.get("PYFAGG_FUZZ_DRAWS", "30"))
 
 
 def test_facade_fuzz_matches_model(spark, corpus):

@@ -896,10 +896,13 @@ def test_grouped_paging_keeps_null_group(spark, tmp_path):
         {"q": "needle", "group_by": "grp", "group_limit": 2,
          "num_typos": 0, "per_page": 5},
     )
-    groups = {r["grp"] for r in res["grouped_hits"]}
+    groups = {g["group_key"][0] for g in res["grouped_hits"]}
     assert None in groups and "a" in groups
-    null_rows = [r for r in res["grouped_hits"] if r["grp"] is None]
-    assert len(null_rows) == 2  # group_limit honored for the null group
+    null_grp = [
+        g for g in res["grouped_hits"] if g["group_key"][0] is None
+    ]
+    assert len(null_grp) == 1
+    assert len(null_grp[0]["hits"]) == 2  # group_limit honored for null
     assert res["found"] == 7 and res["found_groups"] == 2
     assert res["found_docs"] == res["found"]  # Typesense 0.25+ spelling
 
@@ -983,7 +986,9 @@ def test_search_quoted_phrase_curation_and_group(spark, sf_dir):
          "per_page": 10},
     )
     assert g["found_docs"] == base["found"]
-    assert all(h["rank_in_group"] <= 2 for h in g["grouped_hits"])
+    assert all(
+        1 <= len(grp["hits"]) <= 2 for grp in g["grouped_hits"]
+    )
 
 
 def test_search_quoted_phrase_rejects_bad_combos(spark, sf_dir):
