@@ -197,6 +197,25 @@ ROWS: list[tuple] = [
         ["C1", "C2", "C3"], [],
         None, None, None,
     ),
+    (
+        # data-* attribute trap: data-width must NOT be read as the
+        # width attribute (lxml .get("width") semantics) — the first
+        # img's width comes from its style (250 ≥ 200 → screenshot;
+        # an unanchored regex would read data-width=150 and reject);
+        # the second img has NO src (data-src is not src) → skipped.
+        "h12-data-attrs",
+        _ago(10), None,
+        None,
+        _LONG
+        + ' <img src="https://example.com/lazy.png" data-width="150"'
+        + ' style="width: 250px">'
+        + ' <img data-src="https://example.com/ghost.png" width="600">',
+        [], [],
+        None, None,
+        None, "Dot", "MIT", "pypi",
+        ["C1", "C2", "C3"], [],
+        None, None, None,
+    ),
 ]
 
 SCHEMA = T.StructType(

@@ -89,10 +89,18 @@ def word_count(text: Column) -> Column:
 def _img_width(tag: Column) -> Column:
     """screenshot_detector.py:126-159 — width attr first (strip a
     trailing px, int-parse; unparseable falls through), then the CSS
-    style width. The fetch fallback is engine-absent (module doc)."""
-    attr = F.regexp_extract(tag, r'width="([^"]*)"', 1)
+    style width. The fetch fallback is engine-absent (module doc).
+
+    Attribute extraction anchors on a non-name char (``(?:^|[^\\w-])``)
+    so ``data-width="..."`` is NOT the width attribute — the reference
+    reads attributes through lxml (``img_element.get("width")``), which
+    never confuses prefixed attribute names. The CSS regex deliberately
+    stays UNanchored: the reference's own ``parse_width_from_style``
+    (screenshot_detector.py:72, ``re.search(r"width\\s*:...")``) matches
+    inside ``max-width:`` too, and we mirror that exactly."""
+    attr = F.regexp_extract(tag, r'(?:^|[^\w-])width="([^"]*)"', 1)
     attr_val = F.trim(F.regexp_replace(attr, r"[px]+$", "")).try_cast("int")
-    style = F.regexp_extract(tag, r'style="([^"]*)"', 1)
+    style = F.regexp_extract(tag, r'(?:^|[^\w-])style="([^"]*)"', 1)
     style_val = F.regexp_extract(
         style, r"(?i)width\s*:\s*(\d+)(?:px)?", 1
     ).try_cast("int")
@@ -105,7 +113,7 @@ def has_screenshots(description: Column) -> Column:
     tags = F.regexp_extract_all(description, F.lit(r"<img[^>]*>"), 0)
 
     def _qualifies(tag: Column) -> Column:
-        src = F.regexp_extract(tag, r'src="([^"]*)"', 1)
+        src = F.regexp_extract(tag, r'(?:^|[^\w-])src="([^"]*)"', 1)
         w = _img_width(tag)
         return (
             (src != "")

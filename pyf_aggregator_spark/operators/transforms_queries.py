@@ -382,11 +382,16 @@ _SQL_BADGE = (
 
 # Per-<img> width: attr first (strip trailing px, TRY_CAST), then CSS
 # style — screenshot_detector.py:126-159; -1 sentinel = undeterminable.
+# Attr names anchor on a non-name char so data-width/data-src never
+# match (lxml .get() semantics); the CSS width regex stays unanchored
+# like the reference's own parse_width_from_style.
 _SQL_IMG_W = (
     "coalesce("
     "TRY_CAST(trim(regexp_replace("
-    "regexp_extract(t, 'width=\"([^\"]*)\"', 1), '[px]+$', '')) AS INT), "
-    "TRY_CAST(regexp_extract(regexp_extract(t, 'style=\"([^\"]*)\"', 1), "
+    "regexp_extract(t, '(?:^|[^\\w-])width=\"([^\"]*)\"', 1), "
+    "'[px]+$', '')) AS INT), "
+    "TRY_CAST(regexp_extract("
+    "regexp_extract(t, '(?:^|[^\\w-])style=\"([^\"]*)\"', 1), "
     r"'(?i)width\s*:\s*(\d+)(?:px)?'"
     ", 1) AS INT), -1)"
 )
@@ -394,8 +399,10 @@ _SQL_IMG_W = (
 _SQL_SCREENS = (
     "(description IS NOT NULL AND len(list_filter("
     "regexp_extract_all(description, '<img[^>]*>'), "
-    "t -> regexp_extract(t, 'src=\"([^\"]*)\"', 1) <> '' "
-    f"AND NOT regexp_matches(regexp_extract(t, 'src=\"([^\"]*)\"', 1), {_SQL_BADGE}) "
+    "t -> regexp_extract(t, '(?:^|[^\\w-])src=\"([^\"]*)\"', 1) <> '' "
+    "AND NOT regexp_matches("
+    "regexp_extract(t, '(?:^|[^\\w-])src=\"([^\"]*)\"', 1), "
+    f"{_SQL_BADGE}) "
     f"AND {_SQL_IMG_W} >= 200)) > 0)"
 )
 

@@ -330,6 +330,63 @@ def _grouped_response(
     }
 
 
+def _collect_page(out: DataFrame, page: int, per_page: int):
+    """Collect exactly the requested page via a distributed
+    TakeOrdered-with-offset (``offset().limit()`` compiles to ONE
+    TakeOrderedAndProject(limit, offset) — the driver never receives
+    the preceding pages, so a deep maintenance walk stays O(pages)
+    driver-side instead of O(pages²) prefix collects). Returns
+    ``(rows, found_or_None)``: a short-but-determinable page pins
+    ``found = offset + len(rows)`` without a count job (the
+    count-over-limit trick, VERDICT r4 #7); a FULL page — or an empty
+    deep page, where the offset may have overshot the result set —
+    returns ``None`` and the caller runs the separate count."""
+    offset = (page - 1) * per_page
+    rows = out.offset(offset).limit(per_page).collect()
+    if len(rows) == per_page:
+        return rows, None
+    if rows or page == 1:
+        return rows, offset + len(rows)
+    return rows, None
+
+
+def _page_groups(
+    g: DataFrame, group_by: str, limit: int, order_cols, page: int,
+    per_page: int,
+):
+    """Page GROUPS over the persisted groups×group_limit frame ``g``:
+    totals from the rank-1 heads (one agg row), the page of group heads
+    via TakeOrdered-with-offset (the driver collects exactly the page,
+    never the prefix), then the page groups' remaining hits. NULL is a
+    legitimate group (Typesense groups null values together): ``isin``
+    alone is 3VL-NULL and would silently drop the null group's rows
+    from its page. Every collect is bounded by per_page × group_limit
+    (+1 totals row) however many groups match."""
+    first = g.filter(F.col("rank_in_group") == 1)
+    totals = first.agg(
+        F.coalesce(F.sum("group_found"), F.lit(0)).alias("docs"),
+        F.count("*").alias("groups"),
+    ).collect()[0]
+    page_first = (
+        first.orderBy(*order_cols)
+        .offset((page - 1) * per_page)
+        .limit(per_page)
+        .collect()
+    )
+    page_groups = [r[group_by] for r in page_first]
+    if limit > 1 and page_groups:
+        non_null = [gv for gv in page_groups if gv is not None]
+        cond = (
+            F.col(group_by).isin(non_null) if non_null else F.lit(False)
+        )
+        if any(gv is None for gv in page_groups):
+            cond = cond | F.col(group_by).isNull()
+        page_rows = g.filter(cond).collect()
+    else:
+        page_rows = page_first
+    return totals, page_first, page_rows
+
+
 def _apply_filters(docs: DataFrame, clauses) -> DataFrame:
     for field, vals, neg in clauses:
         col = F.col(field).cast("string")
@@ -461,33 +518,21 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
                 .filter(F.col("rank_in_group") <= limit)
             ).persist()
             try:
-                first = g.filter(F.col("rank_in_group") == 1)
-                totals = first.agg(
-                    F.coalesce(F.sum("group_found"), F.lit(0)).alias("docs"),
-                    F.count("*").alias("groups"),
-                ).collect()[0]
-                page_first = (
-                    first.orderBy(*order_cols).limit(page * per_page).collect()
-                )[(page - 1) * per_page :]
-                page_groups = [r[group_by] for r in page_first]
-                if limit > 1 and page_groups:
-                    # NULL is a legitimate group (isin alone is 3VL-NULL
-                    # and would drop the null group's rows)
-                    non_null = [gv for gv in page_groups if gv is not None]
-                    cond = (
-                        F.col(group_by).isin(non_null)
-                        if non_null else F.lit(False)
-                    )
-                    if any(gv is None for gv in page_groups):
-                        cond = cond | F.col(group_by).isNull()
-                    page_rows = g.filter(cond).collect()
-                else:
-                    page_rows = page_first
+                totals, page_first, page_rows = _page_groups(
+                    g, group_by, limit, order_cols, page, per_page
+                )
             finally:
                 g.unpersist()
             resp = _grouped_response(
                 spark, _doc_cols(docs), _doc_dict, group_by,
                 page_first, page_rows, totals, page, per_page, ranked=False,
+            )
+            # Typesense returns facet_counts alongside grouped_hits —
+            # over the MATCH SET (the filtered corpus here), not the
+            # page of groups
+            resp["facet_counts"] = _facets(
+                params.get("facet_by"), filtered_docs,
+                params.get("facet_query"), max_facet_values,
             )
             resp["request_params"] = request_params
             return resp
@@ -496,17 +541,12 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             out = out.orderBy(*_sort_cols(sort_by, docs))
         else:
             out = out.orderBy(F.asc("doc_id"))
-        # count-over-limit (VERDICT r4 #7): collect the page first —
-        # when the limit under-fills, its length IS the exact found and
-        # the count job is skipped (one Spark job for short result
-        # sets; a filled page still needs the separate count).
-        page_rows = _doc_cols(out).limit(page * per_page).collect()
-        found = (
-            len(page_rows)
-            if len(page_rows) < page * per_page
-            else out.count()
-        )
-        rows = page_rows[(page - 1) * per_page :]
+        # offset paging + count-over-limit (_collect_page): the driver
+        # receives exactly the page, and a determinable short page
+        # skips the count job
+        rows, found = _collect_page(_doc_cols(out), page, per_page)
+        if found is None:
+            found = out.count()
         return {
             "found": found,
             "page": page,
@@ -668,9 +708,10 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     # over the text column; see phrase.py's plan note + the
     # test_plans.py audit), then fed to every downstream path (sort_by
     # / group_by / top-k+found / facets / curation probe) in place of
-    # the kernel match set. Each action over it re-runs the term-pruned
-    # pass — same per-action cost shape as the non-phrase paths' extra
-    # match-ids pass.
+    # the kernel match set. PERSISTED: downstream paths take up to four
+    # actions over it (top-k, found count, curation probe, facet match
+    # set) — the kernel pass + corpus-text regex scan run once, the
+    # later actions read the cached match set (scores + ids only, small)
     phrase_verified = None
     if phrase_terms is not None:
         from pyf_aggregator_spark.search.phrase import phrase_regex
@@ -682,6 +723,23 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             .join(docs.select("doc_id", "text"), "doc_id")
             .filter(F.col("text").rlike(phrase_regex(phrase_terms)))
             .select("doc_id", "score")
+        ).persist()
+
+    def _ranked_match_set() -> DataFrame:
+        # the exact (filtered) match set for sort_by / grouped facets /
+        # ungrouped facets — from the no-scoring match-ids kernel;
+        # slot_terms rides in so membership agrees with the slotted
+        # hits/found (ADVICE r4: the flat expansion required every
+        # completion in and-mode, contradicting found)
+        if phrase_verified is not None:
+            return phrase_verified.select("doc_id")
+        if mf is not None:
+            return wand_match_ids_multifield(
+                mf, sorted(weights), query, allowed=allowed,
+                mode=mode, slot_terms=slot_terms,
+            )
+        return wand_match_ids(
+            idx, query, mode=mode, allowed=allowed, slot_terms=slot_terms
         )
 
     # sort_by on a RANKED query (Typesense: the match set is ordered by
@@ -698,32 +756,14 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
                 "sort_by + group_by combine on match-all (q='*') "
                 "queries only"
             )
-        # slot_terms rides into the match-ids kernel so the sort_by
-        # match set uses the SAME membership as the slotted hits/found
-        # (ADVICE r4: the flat expansion required every completion in
-        # and-mode, contradicting found)
-        if phrase_verified is not None:
-            match = phrase_verified.select("doc_id")
-        elif mf is not None:
-            match = wand_match_ids_multifield(
-                mf, sorted(weights), query, allowed=allowed,
-                mode=mode, slot_terms=slot_terms,
-            )
-        else:
-            match = wand_match_ids(
-                idx, query, mode=mode, allowed=allowed, slot_terms=slot_terms
-            )
+        match = _ranked_match_set()
         out = docs.join(match, "doc_id").orderBy(*_sort_cols(sort_by, docs))
-        # same count-over-limit trick as match-all (one job when the
-        # page under-fills)
-        page_rows = _doc_cols(out).limit(page * per_page).collect()
-        found = (
-            len(page_rows)
-            if len(page_rows) < page * per_page
-            else out.count()
-        )
-        rows = page_rows[(page - 1) * per_page :]
-        return {
+        # offset paging + count-over-limit (_collect_page): the driver
+        # receives exactly the page
+        rows, found = _collect_page(_doc_cols(out), page, per_page)
+        if found is None:
+            found = out.count()
+        resp = {
             "found": found,
             "page": page,
             "hits": [
@@ -736,6 +776,9 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             ),
             "request_params": request_params,
         }
+        if phrase_verified is not None:
+            phrase_verified.unpersist()
+        return resp
 
     group_by = params.get("group_by")
     if group_by:
@@ -784,38 +827,30 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         # many groups match — no all-groups collect at scale.
         g = g.persist()
         try:
-            first = g.filter(F.col("rank_in_group") == 1)
-            totals = first.agg(
-                F.coalesce(F.sum("group_found"), F.lit(0)).alias("docs"),
-                F.count("*").alias("groups"),
-            ).collect()[0]
-            page_first = (
-                first.orderBy(F.desc("score"), F.asc(group_by))
-                .limit(page * per_page)
-                .collect()
-            )[(page - 1) * per_page :]
-            page_groups = [r[group_by] for r in page_first]
-            if limit > 1 and page_groups:
-                # NULL is a legitimate group (Typesense groups null
-                # values together): isin alone is 3VL-NULL and would
-                # silently drop the null group's rows from its page
-                non_null = [gv for gv in page_groups if gv is not None]
-                cond = (
-                    F.col(group_by).isin(non_null)
-                    if non_null else F.lit(False)
-                )
-                if any(gv is None for gv in page_groups):
-                    cond = cond | F.col(group_by).isNull()
-                page_rows = g.filter(cond).collect()
-            else:
-                page_rows = page_first
+            totals, page_first, page_rows = _page_groups(
+                g, group_by, limit,
+                [F.desc("score"), F.asc(group_by)], page, per_page,
+            )
         finally:
             g.unpersist()
         resp = _grouped_response(
             spark, _doc_cols(docs), _doc_dict, group_by,
             page_first, page_rows, totals, page, per_page, ranked=True,
         )
+        # Typesense returns facet_counts alongside grouped_hits — over
+        # the MATCH SET (one extra match-ids kernel pass, same cost
+        # shape as the ungrouped facet block), not the page of groups
+        resp["facet_counts"] = (
+            _facets(
+                params.get("facet_by"),
+                docs.join(_ranked_match_set(), "doc_id"),
+                params.get("facet_query"), max_facet_values,
+            )
+            if params.get("facet_by") else []
+        )
         resp["request_params"] = request_params
+        if phrase_verified is not None:
+            phrase_verified.unpersist()
         return resp
 
     # curation over-fetch: hidden docs in the top-k are skipped and
@@ -968,21 +1003,12 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         # hit-set facets need the match IDS, not just the count: one
         # extra kernel pass emitting the distributed (filtered) match
         # set — still segment-only, aggregated map-side, never collected
-        if phrase_verified is not None:
-            match_set = phrase_verified.select("doc_id")
-        elif mf is not None:
-            match_set = wand_match_ids_multifield(
-                mf, sorted(weights), query, allowed=allowed,
-                mode=mode, slot_terms=slot_terms,
-            )
-        else:
-            match_set = wand_match_ids(
-                idx, query, mode=mode, allowed=allowed, slot_terms=slot_terms
-            )
         facet_counts = _facets(
-            params.get("facet_by"), docs.join(match_set, "doc_id"),
+            params.get("facet_by"), docs.join(_ranked_match_set(), "doc_id"),
             params.get("facet_query"), max_facet_values,
         )
+    if phrase_verified is not None:
+        phrase_verified.unpersist()
     return {
         "found": found,
         "page": page,

@@ -421,6 +421,12 @@ class FacadeModel:
                         }
                         for gv in page_groups
                     ],
+                    # facets ride alongside grouped_hits (Typesense),
+                    # over the match set — the filtered corpus here
+                    "facet_counts": self._facets(
+                        params.get("facet_by"), filtered,
+                        params.get("facet_query"), max_facet_values,
+                    ),
                 }
             ordered = self._sort_rows(filtered, params.get("sort_by"))
             found = len(ordered)
@@ -570,6 +576,14 @@ class FacadeModel:
                     }
                     for gv in page_groups
                 ],
+                # facets over the MATCH SET (all matched docs, not the
+                # page of groups) — mirrors the engine's extra
+                # match-ids pass
+                "facet_counts": self._facets(
+                    params.get("facet_by"),
+                    [r["doc_id"] for r in scored],
+                    params.get("facet_query"), max_facet_values,
+                ),
             }
 
         # ------- ranked top-k (+ drop cascade + curation)

@@ -181,8 +181,9 @@ def _draw(rng: random.Random, i: int, docs: list[dict]):
                 )
         p["filter_by"] = " && ".join(parts)
 
-    # facets on a third of draws
-    if rng.random() < 0.35 and not p.get("group_by"):
+    # facets on a third of draws (grouped draws included — Typesense
+    # returns facet_counts alongside grouped_hits)
+    if rng.random() < 0.35:
         fields = rng.sample(["lang", "source", "n_chars"], rng.randint(1, 2))
         p["facet_by"] = ",".join(fields)
         p["max_facet_values"] = rng.choice([2, 3, 10])
@@ -202,6 +203,10 @@ def _assert_same(got: dict, want: dict, ctx: str) -> None:
         assert got["found_docs"] == want["found_docs"], ctx
         assert got["grouped_hits"] == want["grouped_hits"], (
             f"{got['grouped_hits']} != {want['grouped_hits']} :: {ctx}"
+        )
+        assert got.get("facet_counts", []) == want.get("facet_counts", []), (
+            f"grouped facets {got.get('facet_counts')} != "
+            f"{want.get('facet_counts')} :: {ctx}"
         )
         return
     gh = [

@@ -61,14 +61,17 @@ def _wc(text):
 
 
 def _img_width(tag):
-    # screenshot_detector.py:126-159, sans network fetch
-    m = re.search(r'width="([^"]*)"', tag)
+    # screenshot_detector.py:126-159, sans network fetch. Attr names
+    # anchor on a non-name char (lxml .get() never matches data-width);
+    # the CSS width regex stays unanchored like the reference's own
+    # parse_width_from_style (matches inside max-width too).
+    m = re.search(r'(?:^|[^\w-])width="([^"]*)"', tag)
     if m and m.group(1):
         try:
             return int(m.group(1).rstrip("px").strip())
         except ValueError:
             pass
-    m = re.search(r'style="([^"]*)"', tag)
+    m = re.search(r'(?:^|[^\w-])style="([^"]*)"', tag)
     if m:
         w = re.search(r"width\s*:\s*(\d+)(?:px)?", m.group(1), re.IGNORECASE)
         if w:
@@ -81,7 +84,7 @@ def _has_screenshots(html):
     if not html:
         return False
     for tag in re.findall(r"<img[^>]*>", html):
-        m = re.search(r'src="([^"]*)"', tag)
+        m = re.search(r'(?:^|[^\w-])src="([^"]*)"', tag)
         src = m.group(1) if m else ""
         if not src or _BADGE_RE.search(src):
             continue
@@ -326,6 +329,16 @@ def test_naive_iso_is_no_timestamp(spark_rows):
 def test_zero_unix_ts_is_no_timestamp(spark_rows):
     # health_score.py:100-103: int 0 ⇒ missing.
     assert spark_rows["h03-zerots"]["recency_points"] == 0
+
+
+def test_data_attrs_not_confused_with_real_attrs(spark_rows):
+    # h12: data-width="150" is NOT the width attribute (lxml .get()
+    # semantics) — the style width 250 decides, so the screenshot
+    # counts; an unanchored regex would read 150 and reject. The
+    # second img has only data-src → no src → skipped entirely.
+    assert "has meaningful screenshots:5" in spark_rows["h12-data-attrs"][
+        "docs_bonuses"
+    ]
 
 
 def test_badge_with_width_not_screenshot(spark_rows):

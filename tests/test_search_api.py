@@ -113,6 +113,28 @@ def test_search_match_all_sort_and_page(spark, sf_dir):
     assert res["found"] == docs.filter(F.col("lang") == "en").count()
 
 
+def test_search_grouped_returns_facets(spark, sf_dir):
+    """Typesense returns facet_counts alongside grouped_hits — over the
+    match set (facet sum == found_docs), on both the ranked and the
+    q='*' grouped paths (the gap was invisible while the fuzzer never
+    drew facet_by with group_by)."""
+    ranked = search(
+        spark, sf_dir,
+        {"q": "spark vector", "group_by": "source", "facet_by": "lang",
+         "per_page": 50, "num_typos": 0},
+    )
+    fc = {c["value"]: c["count"] for c in ranked["facet_counts"][0]["counts"]}
+    assert sum(fc.values()) == ranked["found_docs"]
+    walk = search(
+        spark, sf_dir,
+        {"q": "*", "group_by": "source", "facet_by": "lang",
+         "filter_by": "lang:=en", "per_page": 50},
+    )
+    wfc = {c["value"]: c["count"] for c in walk["facet_counts"][0]["counts"]}
+    assert set(wfc) == {"en"}
+    assert sum(wfc.values()) == walk["found_docs"]
+
+
 def test_search_grouped_respects_filter(spark, sf_dir):
     """filter_by + group_by must actually filter (r3's only wrong-answer
     path: the facade silently dropped the filter on the grouped branch)."""
