@@ -639,6 +639,7 @@ _MF_AND_Q = "spark vector"          # both tokens, each in ≥1 field
 _MF_PREFIX_Q = "vector s"           # per-field best-completion scoring
 _MF_DROP_Q = "spark vector qqqzzz"  # unknown tail → dropped, mf retry
 _MF_TYPO_Q = "custoemr vectr"       # corrections vs summed-df vocab
+_MF_INFIX_Q = "ro"                  # within-word slot vs summed vocab
 _MF_K = 20
 _MF_ORACLE_FIELDS = {
     expr: _5F_WEIGHTS[f] for f, expr in _5F_SQL_EXPRS.items()
@@ -655,6 +656,9 @@ def _mf_defaults_sql() -> str:
             _MF_PREFIX_Q, _MF_ORACLE_FIELDS, _MF_K
         ),
         "typo": osql.typo_multifield_sql(_MF_TYPO_Q, _MF_ORACLE_FIELDS, _MF_K),
+        "infix": osql.infix_multifield_sql(
+            _MF_INFIX_Q, _MF_ORACLE_FIELDS, _MF_K
+        ),
     }
     parts = [
         f"SELECT '{name}' AS behavior, doc_id, score FROM ({sql.strip()})"
@@ -682,9 +686,14 @@ def ft_mf_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
       completion), fields sum under their weights (_mf_spec's
       field×token slots);
     - ``typo``: num_typos=2 correction against the artifact's summed-df
-      vocabulary, then the weighted disjunctive query."""
+      vocabulary, then the weighted disjunctive query;
+    - ``infix``: within-word expansion (vocabulary ``contains``,
+      df-ranked, probed token kept) scoring as ONE slot per field —
+      best matched word per (doc, field), fields sum under their
+      weights (same slot shape as prefix)."""
     from pyf_aggregator_spark.functions.tokenize import tokenize_py
     from pyf_aggregator_spark.search.fallback import drop_tokens_mf_with_found
+    from pyf_aggregator_spark.search.infix import expand_infix
     from pyf_aggregator_spark.search.prefix import expand_prefix
     from pyf_aggregator_spark.search.typo import correct_terms
     from pyf_aggregator_spark.search.wand import wand_topk_multifield
@@ -719,10 +728,18 @@ def ft_mf_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         mf, _5F_WEIGHTS, " ".join(corrected), k=_MF_K, mode="or"
     ).select(F.lit("typo").alias("behavior"), "doc_id", "score")
 
+    infix_slot = list(
+        dict.fromkeys([_MF_INFIX_Q] + expand_infix(sum_stats, _MF_INFIX_Q))
+    )
+    infix_side = wand_topk_multifield(
+        mf, _5F_WEIGHTS, "", k=_MF_K, mode="or", slot_terms=[infix_slot]
+    ).select(F.lit("infix").alias("behavior"), "doc_id", "score")
+
     return (
         and_side.unionByName(drop_side)
         .unionByName(prefix_side)
         .unionByName(typo_side)
+        .unionByName(infix_side)
         .orderBy("behavior", F.desc("score"), F.asc("doc_id"))
     )
 

@@ -290,6 +290,46 @@ LIMIT {k}
 """
 
 
+def infix_multifield_sql(
+    query: str, fields: dict[str, float], k: int = 10,
+    max_expansions: int = 50,
+) -> str:
+    """Multifield infix oracle (single-token probe): the token expands
+    against the SUMMED-df vocabulary words CONTAINING it (LIKE scan,
+    df-ranked, capped — replayed here from mfvocab independently of the
+    engine's expansion), and the probed token itself always rides in
+    the slot (search/infix.py prepends it before the cap). Per FIELD
+    the expansion set contributes each doc's BEST matched word (max),
+    fields sum under their weights — the same (field, slot) scoring as
+    prefix_multifield_sql."""
+    toks = tokenize_py(query)
+    assert len(toks) == 1, "mf infix oracle grades a single-token probe"
+    tok = toks[0].replace("'", "''")
+    mid = f"""
+{_mf_vocab_cte(len(fields))},
+exp AS (
+  SELECT term FROM (
+    SELECT term FROM mfvocab
+    WHERE term LIKE '%{tok}%'
+    ORDER BY df DESC, term ASC LIMIT {max_expansions}
+  )
+  UNION
+  SELECT term FROM mfvocab WHERE term = '{tok}'
+)"""
+    return f"""
+WITH {_mf_scaffold(fields, "(SELECT term FROM exp)", mid)},
+agg AS (
+  SELECT doc_id, sum(m) AS raw FROM (
+    SELECT doc_id, fi, max(wcontrib) AS m FROM union_per
+    GROUP BY doc_id, fi
+  ) GROUP BY doc_id
+)
+SELECT doc_id, round(raw, {SCORE_DECIMALS}) AS score FROM agg
+ORDER BY round(raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def drop_tokens_multifield_sql(
     query: str, fields: dict[str, float], k: int = 10, threshold: int = 1
 ) -> str:
