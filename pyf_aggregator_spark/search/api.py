@@ -789,6 +789,33 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         # counts, computed in the same group-window pass), with
         # ``found_groups`` the distinct group count alongside.
         limit = int(params.get("group_limit", 1))
+        g_drop = int(params.get("drop_tokens_threshold", 0))
+        if (
+            phrase_verified is None and slot_terms is None
+            and g_drop and mode == "and"
+        ):
+            # Typesense's drop cascade applies to grouped searches too:
+            # the surviving token list is decided by the same
+            # found >= threshold rule (k=1 — only the found count is
+            # consumed here), then groups enumerate from the
+            # surviving-terms match set; the rebound query also feeds
+            # the grouped facet match set below
+            from pyf_aggregator_spark.search.fallback import (
+                drop_tokens_mf_with_found,
+            )
+
+            if mf is not None:
+                _, used_terms, _ = drop_tokens_mf_with_found(
+                    mf, weights, terms, k=1, threshold=g_drop,
+                    allowed=allowed,
+                )
+            else:
+                _, used_terms, _ = drop_tokens_with_found(
+                    idx, query, k=1, mode="and", threshold=g_drop,
+                    allowed=allowed,
+                )
+            terms = used_terms
+            query = " ".join(used_terms)
         if phrase_verified is not None:
             from pyf_aggregator_spark.operators.fulltext_extra import (
                 grouped_from_scored,

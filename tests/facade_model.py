@@ -538,6 +538,23 @@ class FacadeModel:
         group_by = params.get("group_by")
         if group_by:
             limit = int(params.get("group_limit", 1))
+            g_drop = int(params.get("drop_tokens_threshold", 0))
+            if (
+                phrase_terms is None and slot_terms is None
+                and g_drop and mode == "and"
+            ):
+                # the drop cascade applies to grouped searches too —
+                # same found >= threshold rule, groups then enumerate
+                # from the surviving-terms match set
+                cascade = list(terms)
+                while True:
+                    eff = [[t] for t in dict.fromkeys(cascade)]
+                    _, found = self._ranked(eff, "and", allowed, mf_weights)
+                    if len(cascade) == 1 or found >= g_drop:
+                        terms = cascade
+                        break
+                    cascade = cascade[:-1]
+                eff_slots = [[t] for t in dict.fromkeys(terms)]
             scored, _ = self._ranked(
                 eff_slots, mode, allowed, mf_weights, phrase_terms
             )

@@ -118,6 +118,9 @@ def _draw(rng: random.Random, i: int, docs: list[dict]):
     if fam == 4:
         p["group_by"] = rng.choice(["lang", "source"])
         p["group_limit"] = rng.randint(1, 3)
+        if p["mode"] == "and" and rng.random() < 0.5:
+            # the drop cascade applies to grouped searches too
+            p["drop_tokens_threshold"] = rng.randint(1, 2)
     if fam == 5:
         keys = rng.sample(
             ["n_chars:desc", "n_chars:asc", "lang:asc", "source:desc"],

@@ -135,6 +135,23 @@ def test_search_grouped_returns_facets(spark, sf_dir):
     assert sum(wfc.values()) == walk["found_docs"]
 
 
+def test_search_grouped_drop_tokens(spark, sf_dir):
+    """drop_tokens_threshold applies to grouped searches (Typesense
+    default active on every query): an and-query with an unknown tail
+    token groups exactly like the query without it, instead of
+    returning zero groups."""
+    base = {"group_by": "lang", "group_limit": 2, "mode": "and",
+            "num_typos": 0, "per_page": 20}
+    dropped = search(spark, sf_dir, dict(
+        base, q="spark vector qqqzzz", drop_tokens_threshold=1))
+    direct = search(spark, sf_dir, dict(base, q="spark vector"))
+    assert dropped["grouped_hits"] == direct["grouped_hits"]
+    assert dropped["found"] == direct["found"] > 0
+    # without the cascade the unknown token empties the and-match
+    empty = search(spark, sf_dir, dict(base, q="spark vector qqqzzz"))
+    assert empty["found"] == 0
+
+
 def test_search_grouped_respects_filter(spark, sf_dir):
     """filter_by + group_by must actually filter (r3's only wrong-answer
     path: the facade silently dropped the filter on the grouped branch)."""
