@@ -756,6 +756,30 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
                 "sort_by + group_by combine on match-all (q='*') "
                 "queries only"
             )
+        s_drop = int(params.get("drop_tokens_threshold", 0))
+        if (
+            phrase_verified is None and slot_terms is None
+            and s_drop and mode == "and"
+        ):
+            # the drop cascade applies under a sort_by override too
+            # (sort_by changes the ORDER, not the match semantics) —
+            # same found >= threshold rule as the grouped/top-k paths
+            from pyf_aggregator_spark.search.fallback import (
+                drop_tokens_mf_with_found,
+            )
+
+            if mf is not None:
+                _, used_terms, _ = drop_tokens_mf_with_found(
+                    mf, weights, terms, k=1, threshold=s_drop,
+                    allowed=allowed,
+                )
+            else:
+                _, used_terms, _ = drop_tokens_with_found(
+                    idx, query, k=1, mode="and", threshold=s_drop,
+                    allowed=allowed,
+                )
+            terms = used_terms
+            query = " ".join(used_terms)
         match = _ranked_match_set()
         out = docs.join(match, "doc_id").orderBy(*_sort_cols(sort_by, docs))
         # offset paging + count-over-limit (_collect_page): the driver

@@ -517,6 +517,22 @@ class FacadeModel:
 
         # ------- ranked + sort_by override
         if params.get("sort_by"):
+            s_drop = int(params.get("drop_tokens_threshold", 0))
+            if (
+                phrase_terms is None and slot_terms is None
+                and s_drop and mode == "and"
+            ):
+                # the drop cascade applies under sort_by too (sort_by
+                # changes the order, not the match semantics)
+                cascade = list(terms)
+                while True:
+                    eff = [[t] for t in dict.fromkeys(cascade)]
+                    _, found = self._ranked(eff, "and", allowed, mf_weights)
+                    if len(cascade) == 1 or found >= s_drop:
+                        terms = cascade
+                        break
+                    cascade = cascade[:-1]
+                eff_slots = [[t] for t in dict.fromkeys(terms)]
             ids = self._match_set(
                 eff_slots, mode, allowed, mf_weights, phrase_terms
             )

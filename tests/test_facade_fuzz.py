@@ -127,6 +127,9 @@ def _draw(rng: random.Random, i: int, docs: list[dict]):
             rng.randint(1, 2),
         )
         p["sort_by"] = ",".join(keys)
+        if p["mode"] == "and" and rng.random() < 0.5:
+            # the drop cascade applies under sort_by too
+            p["drop_tokens_threshold"] = rng.randint(1, 2)
     if fam == 6 and p["q"] not in ("*", ".", "") and not p.get("sort_by"):
         # curation: ranked only, no sort/group (facade raises otherwise)
         pins = []
