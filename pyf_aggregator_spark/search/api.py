@@ -42,7 +42,9 @@ applies silently) and returns a Typesense-shaped response dict:
                          min_len_1typo=4 / min_len_2typo=7 gates apply)
     prefix               last-token autocomplete (default False here;
                          Typesense defaults true)
-    drop_tokens_threshold retry with dropped tokens when hits < N
+    drop_tokens_threshold retry with dropped tokens when hits < N —
+                         applies on every ranked path (top-k, grouped,
+                         sort_by override), as Typesense's default does
     infix                off|fallback|always (default off, Typesense's
                          default) — within-word matching: a token
                          expands against vocabulary words CONTAINING it
