@@ -305,12 +305,19 @@ def infix_multifield_sql(
     toks = tokenize_py(query)
     assert len(toks) == 1, "mf infix oracle grades a single-token probe"
     tok = toks[0].replace("'", "''")
+    # the engine expands with a literal Column.contains — escape LIKE
+    # wildcards so a token containing % (the tokenizer keeps it) stays
+    # a literal containment probe here too
+    tok_like = (
+        toks[0].replace("\\", "\\\\").replace("%", "\\%")
+        .replace("_", "\\_").replace("'", "''")
+    )
     mid = f"""
 {_mf_vocab_cte(len(fields))},
 exp AS (
   SELECT term FROM (
     SELECT term FROM mfvocab
-    WHERE term LIKE '%{tok}%'
+    WHERE term LIKE '%{tok_like}%' ESCAPE '\\'
     ORDER BY df DESC, term ASC LIMIT {max_expansions}
   )
   UNION
@@ -578,6 +585,12 @@ def infix_topk_sql(query: str, k: int = 10, max_expansions: int = 50) -> str:
     toks = tokenize_py(query)
     assert len(toks) == 1, "infix oracle grades a single-token probe"
     tok = toks[0].replace("'", "''")
+    # literal containment, like the engine's Column.contains — escape
+    # LIKE wildcards (a token may contain %; the tokenizer keeps it)
+    tok_like = (
+        toks[0].replace("\\", "\\\\").replace("%", "\\%")
+        .replace("_", "\\_").replace("'", "''")
+    )
     return f"""
 WITH {TOKENS_CTE},
 exp AS (
@@ -586,7 +599,7 @@ exp AS (
   -- vocabulary token ranked below the cap still matches exactly
   SELECT term FROM (
     SELECT term FROM dfreq
-    WHERE term LIKE '%{tok}%'
+    WHERE term LIKE '%{tok_like}%' ESCAPE '\\'
     ORDER BY df DESC, term ASC LIMIT {max_expansions}
   )
   UNION

@@ -744,6 +744,42 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             idx, query, mode=mode, allowed=allowed, slot_terms=slot_terms
         )
 
+    drop_threshold = int(params.get("drop_tokens_threshold", 0))
+
+    def _drop_cascade_rewrite():
+        # Typesense's drop cascade on the NON-top-k ranked paths
+        # (sort_by override, grouped): rewrite terms/query by the
+        # found >= threshold rule (k=1 kernel passes — only the counts
+        # are consumed; the first pass doubles as the threshold check,
+        # so an un-dropped query costs exactly one extra pass whose
+        # exact found the caller can reuse). Returns the surviving
+        # match count, or None when the cascade doesn't apply. The
+        # top-k path keeps its consuming variant (its hits ride the
+        # same kernel passes).
+        nonlocal terms, query
+        if not (
+            phrase_verified is None and slot_terms is None
+            and drop_threshold and mode == "and"
+        ):
+            return None
+        from pyf_aggregator_spark.search.fallback import (
+            drop_tokens_mf_with_found,
+        )
+
+        if mf is not None:
+            _, used, found = drop_tokens_mf_with_found(
+                mf, weights, terms, k=1, threshold=drop_threshold,
+                allowed=allowed,
+            )
+        else:
+            _, used, found = drop_tokens_with_found(
+                idx, query, k=1, mode="and", threshold=drop_threshold,
+                allowed=allowed,
+            )
+        terms = used
+        query = " ".join(used)
+        return found
+
     # sort_by on a RANKED query (Typesense: the match set is ordered by
     # the sort field, not by text_match): the exact match set comes from
     # the no-scoring match-ids kernel, the sort/page is plain DataFrame
@@ -758,37 +794,17 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
                 "sort_by + group_by combine on match-all (q='*') "
                 "queries only"
             )
-        s_drop = int(params.get("drop_tokens_threshold", 0))
-        if (
-            phrase_verified is None and slot_terms is None
-            and s_drop and mode == "and"
-        ):
-            # the drop cascade applies under a sort_by override too
-            # (sort_by changes the ORDER, not the match semantics) —
-            # same found >= threshold rule as the grouped/top-k paths
-            from pyf_aggregator_spark.search.fallback import (
-                drop_tokens_mf_with_found,
-            )
-
-            if mf is not None:
-                _, used_terms, _ = drop_tokens_mf_with_found(
-                    mf, weights, terms, k=1, threshold=s_drop,
-                    allowed=allowed,
-                )
-            else:
-                _, used_terms, _ = drop_tokens_with_found(
-                    idx, query, k=1, mode="and", threshold=s_drop,
-                    allowed=allowed,
-                )
-            terms = used_terms
-            query = " ".join(used_terms)
+        # the drop cascade applies under a sort_by override too
+        # (sort_by changes the ORDER, not the match semantics)
+        c_found = _drop_cascade_rewrite()
         match = _ranked_match_set()
         out = docs.join(match, "doc_id").orderBy(*_sort_cols(sort_by, docs))
         # offset paging + count-over-limit (_collect_page): the driver
-        # receives exactly the page
+        # receives exactly the page; when the cascade ran, its exact
+        # kernel found stands in for the count job
         rows, found = _collect_page(_doc_cols(out), page, per_page)
         if found is None:
-            found = out.count()
+            found = c_found if c_found is not None else out.count()
         resp = {
             "found": found,
             "page": page,
@@ -815,33 +831,11 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         # counts, computed in the same group-window pass), with
         # ``found_groups`` the distinct group count alongside.
         limit = int(params.get("group_limit", 1))
-        g_drop = int(params.get("drop_tokens_threshold", 0))
-        if (
-            phrase_verified is None and slot_terms is None
-            and g_drop and mode == "and"
-        ):
-            # Typesense's drop cascade applies to grouped searches too:
-            # the surviving token list is decided by the same
-            # found >= threshold rule (k=1 — only the found count is
-            # consumed here), then groups enumerate from the
-            # surviving-terms match set; the rebound query also feeds
-            # the grouped facet match set below
-            from pyf_aggregator_spark.search.fallback import (
-                drop_tokens_mf_with_found,
-            )
-
-            if mf is not None:
-                _, used_terms, _ = drop_tokens_mf_with_found(
-                    mf, weights, terms, k=1, threshold=g_drop,
-                    allowed=allowed,
-                )
-            else:
-                _, used_terms, _ = drop_tokens_with_found(
-                    idx, query, k=1, mode="and", threshold=g_drop,
-                    allowed=allowed,
-                )
-            terms = used_terms
-            query = " ".join(used_terms)
+        # the drop cascade applies to grouped searches too: groups and
+        # the grouped facet match set enumerate from the surviving
+        # terms (grouped found comes from the group-window totals, so
+        # the cascade's count is not needed here)
+        _drop_cascade_rewrite()
         if phrase_verified is not None:
             from pyf_aggregator_spark.operators.fulltext_extra import (
                 grouped_from_scored,
@@ -911,7 +905,6 @@ def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     # size (user-provided, small) — still a bounded kernel top-k
     n_curated = len(hidden_ids | set(pinned.values()))
     k = page * per_page + n_curated
-    drop_threshold = int(params.get("drop_tokens_threshold", 0))
     if phrase_verified is not None:
         # top-k + exact found from the verified set (two bounded
         # actions; the ordering/tie-break contract is shared)

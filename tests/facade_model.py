@@ -320,6 +320,19 @@ class FacadeModel:
         rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
         return rows, len(ids)
 
+    def _drop_cascade(self, terms, threshold, allowed, mf_weights):
+        """Typesense's drop_tokens rule, shared by the top-k / sort_by /
+        grouped paths: rightmost token dropped per retry until
+        found >= threshold (single-token prefix unconditionally). →
+        (surviving_terms, ranked_rows_of_survivors, found)."""
+        cascade = list(terms)
+        while True:
+            eff = [[t] for t in dict.fromkeys(cascade)]
+            rows_all, found = self._ranked(eff, "and", allowed, mf_weights)
+            if len(cascade) == 1 or found >= threshold:
+                return cascade, rows_all, found
+            cascade = cascade[:-1]
+
     # ------------------------------------------------------- facets
     def _facets(self, facet_by, ids, facet_query, max_values):
         if not facet_by:
@@ -514,24 +527,22 @@ class FacadeModel:
             if slot_terms is not None
             else [[t] for t in dict.fromkeys(terms)]
         )
+        drop_threshold = int(params.get("drop_tokens_threshold", 0))
+
+        def drop_applies() -> bool:
+            return bool(
+                phrase_terms is None and slot_terms is None
+                and drop_threshold and mode == "and"
+            )
 
         # ------- ranked + sort_by override
         if params.get("sort_by"):
-            s_drop = int(params.get("drop_tokens_threshold", 0))
-            if (
-                phrase_terms is None and slot_terms is None
-                and s_drop and mode == "and"
-            ):
+            if drop_applies():
                 # the drop cascade applies under sort_by too (sort_by
                 # changes the order, not the match semantics)
-                cascade = list(terms)
-                while True:
-                    eff = [[t] for t in dict.fromkeys(cascade)]
-                    _, found = self._ranked(eff, "and", allowed, mf_weights)
-                    if len(cascade) == 1 or found >= s_drop:
-                        terms = cascade
-                        break
-                    cascade = cascade[:-1]
+                terms, _, _ = self._drop_cascade(
+                    terms, drop_threshold, allowed, mf_weights
+                )
                 eff_slots = [[t] for t in dict.fromkeys(terms)]
             ids = self._match_set(
                 eff_slots, mode, allowed, mf_weights, phrase_terms
@@ -554,22 +565,12 @@ class FacadeModel:
         group_by = params.get("group_by")
         if group_by:
             limit = int(params.get("group_limit", 1))
-            g_drop = int(params.get("drop_tokens_threshold", 0))
-            if (
-                phrase_terms is None and slot_terms is None
-                and g_drop and mode == "and"
-            ):
+            if drop_applies():
                 # the drop cascade applies to grouped searches too —
-                # same found >= threshold rule, groups then enumerate
-                # from the surviving-terms match set
-                cascade = list(terms)
-                while True:
-                    eff = [[t] for t in dict.fromkeys(cascade)]
-                    _, found = self._ranked(eff, "and", allowed, mf_weights)
-                    if len(cascade) == 1 or found >= g_drop:
-                        terms = cascade
-                        break
-                    cascade = cascade[:-1]
+                # groups then enumerate from the surviving-terms set
+                terms, _, _ = self._drop_cascade(
+                    terms, drop_threshold, allowed, mf_weights
+                )
                 eff_slots = [[t] for t in dict.fromkeys(terms)]
             scored, _ = self._ranked(
                 eff_slots, mode, allowed, mf_weights, phrase_terms
@@ -622,19 +623,10 @@ class FacadeModel:
         # ------- ranked top-k (+ drop cascade + curation)
         n_curated = len(hidden | set(pinned.values()))
         k = page * per_page + n_curated
-        drop_threshold = int(params.get("drop_tokens_threshold", 0))
-        if (
-            slot_terms is None and drop_threshold and mode == "and"
-            and phrase_terms is None
-        ):
-            cascade = list(terms)
-            while True:
-                eff = [[t] for t in dict.fromkeys(cascade)]
-                rows_all, found = self._ranked(eff, "and", allowed, mf_weights)
-                if len(cascade) == 1 or found >= drop_threshold:
-                    terms = cascade
-                    break
-                cascade = cascade[:-1]
+        if drop_applies():
+            terms, rows_all, found = self._drop_cascade(
+                terms, drop_threshold, allowed, mf_weights
+            )
             eff_slots = [[t] for t in dict.fromkeys(terms)]
             all_rows = rows_all[:k]
         else:

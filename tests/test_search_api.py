@@ -152,6 +152,31 @@ def test_search_grouped_drop_tokens(spark, sf_dir):
     assert empty["found"] == 0
 
 
+def test_search_query_by_drop_tokens_grouped_and_sorted(spark, sf_dir):
+    """The drop cascade's MULTIFIELD branches on the grouped and
+    sort_by paths (drop_tokens_mf_with_found call sites): fuzz families
+    never combine query_by with group_by/sort_by, so these run only
+    here. The query with an unknown tail must behave exactly like the
+    query without it on both paths."""
+    mf = {"query_by": "name,title,first_chapter,main_content,changelog",
+          "query_by_weights": "10,10,5,3,1", "mode": "and",
+          "num_typos": 0, "per_page": 20}
+    grouped = search(spark, sf_dir, dict(
+        mf, q="spark vector qqqzzz", drop_tokens_threshold=1,
+        group_by="lang", group_limit=2))
+    grouped_direct = search(spark, sf_dir, dict(
+        mf, q="spark vector", group_by="lang", group_limit=2))
+    assert grouped["grouped_hits"] == grouped_direct["grouped_hits"]
+    assert grouped["found"] == grouped_direct["found"] > 0
+    srt = search(spark, sf_dir, dict(
+        mf, q="spark vector qqqzzz", drop_tokens_threshold=1,
+        sort_by="n_chars:desc"))
+    srt_direct = search(spark, sf_dir, dict(
+        mf, q="spark vector", sort_by="n_chars:desc"))
+    assert srt["hits"] == srt_direct["hits"]
+    assert srt["found"] == srt_direct["found"] > 0
+
+
 def test_search_grouped_respects_filter(spark, sf_dir):
     """filter_by + group_by must actually filter (r3's only wrong-answer
     path: the facade silently dropped the filter on the grouped branch)."""
