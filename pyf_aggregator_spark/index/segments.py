@@ -55,6 +55,20 @@ BLOCK_SIZE = 128
 def _max_docs_per_part() -> int:
     return int(os.environ.get("PYFAGG_DOCS_PER_PART", "131072"))
 
+
+# When the cap above BINDS (corpus > cap × cores), the encode stage's
+# task count is data-determined and can land on a small number of
+# waves per core — the quiet 2M narrow scaling pair measured a 21%
+# last-wave straggler tail at exactly 4 coarse waves on 4 cores
+# (BENCH/SCALING_RUN.md). Floor the task count at this many waves per
+# core in that regime so the tail is one FINE task, not a quarter of
+# the run; finer ranges only ever lower per-task memory, and at real
+# scale (span/cap ≫ waves × cores) the floor is inactive. Scoped to
+# the cap-binding branch so explicit small-corpus geometries (tests,
+# sf0.01/0.1 benches) are byte-identical to before.
+def _min_capped_waves() -> int:
+    return int(os.environ.get("PYFAGG_MIN_CAPPED_WAVES", "8"))
+
 SEGMENT_SCHEMA = (
     "part_id int, term string, block_id int, n int, first_doc long, "
     "last_doc long, max_norm double, docs_vb binary, tfs_vb binary, "
@@ -393,7 +407,18 @@ def build_segments(
         # _max_docs_per_part so encode-task memory is bounded by DATA
         # geometry, not cluster size (see the constant's note).
         docs_per_part = max(1, math.ceil(n_docs / num_partitions))
-        docs_per_part = min(docs_per_part, _max_docs_per_part())
+        cap = _max_docs_per_part()
+        if docs_per_part > cap:
+            # cap binds → big corpus relative to the cluster. Also
+            # floor the task count at _min_capped_waves() waves/core so
+            # the last-wave straggler tail amortizes (see the note at
+            # the constants above).
+            span = max_doc - doc_base + 1
+            target_tasks = max(
+                math.ceil(span / cap),
+                num_partitions * _min_capped_waves(),
+            )
+            docs_per_part = max(1, math.ceil(span / target_tasks))
     n_parts = math.ceil((max_doc - doc_base + 1) / docs_per_part)
 
     if write_stats:

@@ -211,7 +211,10 @@ def test_docs_per_part_cap_bounds_task_memory(built, tmp_path, monkeypatch):
     ranges are capped at PYFAGG_DOCS_PER_PART so encode-task memory is
     bounded by DATA geometry, not cluster width (measured 2M-turn
     collapse pre-fix, BENCH/SCALING_RUN.md). A capped build has more,
-    smaller parts and answers rank-identically."""
+    smaller parts and answers rank-identically. When the cap binds,
+    the task count is also floored at PYFAGG_MIN_CAPPED_WAVES waves
+    per core (r5: the quiet 2M narrow pair lost 21% to a 4-coarse-wave
+    straggler tail)."""
     import os as _os
 
     spark, docs, index_dir, stats, oracle = built
@@ -220,8 +223,9 @@ def test_docs_per_part_cap_bounds_task_memory(built, tmp_path, monkeypatch):
     monkeypatch.setenv("PYFAGG_DOCS_PER_PART", str(cap))
     d2 = str(tmp_path / "capped")
     stats2 = build_segments(docs, d2, num_partitions=2, lineage="cap")
-    # cores alone would give 2 parts; the cap forces ceil(n/cap) >= 7
-    assert stats2["n_parts"] >= 7 > stats["n_parts"] in (4,)
+    # cores alone would give 2 parts; the cap forces ceil(n/cap) >= 7,
+    # and the wave floor lifts that to >= 2 cores x 8 waves = 16
+    assert stats2["n_parts"] >= 16 > 7 > stats["n_parts"] in (4,)
     meta = spark.read.parquet(f"{d2}/meta").toPandas().sort_values("part_id")
     assert (meta["doc_hi"] - meta["doc_lo"] + 1).max() <= cap
     # full tiling survives the cap (the pre-r4 latent span bug)
