@@ -113,6 +113,10 @@ def main() -> None:
     se.add_argument("--max-facet-values", type=int, default=10)
     se.add_argument("--infix", default="off",
                     choices=["off", "fallback", "always"])
+    se.add_argument("--split-join-tokens", default="off",
+                    choices=["off", "fallback", "always"],
+                    help="space-as-typo rewrite (Typesense default: "
+                         "fallback)")
     se.add_argument("--pinned-hits", default=None,
                     help="'doc_id:pos,...' curation")
     se.add_argument("--hidden-hits", default=None,
@@ -282,6 +286,7 @@ def main() -> None:
             "drop_tokens_threshold": args.drop_tokens_threshold,
             "max_facet_values": args.max_facet_values,
             "infix": args.infix,
+            "split_join_tokens": args.split_join_tokens,
             "pinned_hits": args.pinned_hits,
             "hidden_hits": args.hidden_hits,
         }

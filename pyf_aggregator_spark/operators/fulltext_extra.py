@@ -446,6 +446,8 @@ _TS_TYPO_Q = "custoemr vectr"       # distance-2 + distance-1 typos
 _TS_DROP_Q = "spark vector qqqzzz"  # unknown tail token → dropped
 _TS_PREFIX_Q = "vector s"           # 6 completions → slot-max visible
 _TS_INFIX_Q = "ro"                  # within-word: {row, group} slot
+_TS_JOIN_Q = "cust omer"            # both unknown → joins to customer
+_TS_SPLIT_Q = "customervector"      # unknown → splits customer|vector
 _TS_K = 20
 
 
@@ -494,6 +496,8 @@ def _typesense_defaults_sql() -> str:
         "drop": osql.drop_tokens_topk_sql(_TS_DROP_Q, _TS_K),
         "prefix": osql.prefix_topk_sql(_TS_PREFIX_Q, _TS_K),
         "infix": osql.infix_topk_sql(_TS_INFIX_Q, _TS_K),
+        "join": osql.split_join_topk_sql(_TS_JOIN_Q, _TS_K),
+        "split": osql.split_join_topk_sql(_TS_SPLIT_Q, _TS_K),
     }
     # position makes ORDER part of the hash for every behavior (the
     # driver's compare is order-insensitive, so rank must be a column)
@@ -538,7 +542,14 @@ def ft_typesense_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc to position 3; the graded ``position`` column makes the
       splice (and every branch's rank order) part of the value hash
       (the oracle derives the splice with independent rank
-      arithmetic)."""
+      arithmetic);
+    - ``join`` / ``split``: split_join_tokens=fallback (Typesense's
+      space-as-typo default) through the REAL facade — 'cust omer'
+      (both tokens absent from the vocabulary) matches nothing and
+      JOINS to 'customer'; 'customervector' (absent) SPLITS into its
+      best two-vocabulary-word pair; the oracle replays the zero-hit
+      gate, the join membership and the df-maximizing split choice
+      entirely in SQL (oracle/sql.py::split_join_topk_sql)."""
     from pyspark.sql import Window
 
     from pyf_aggregator_spark.search.api import search as facade_search
@@ -588,6 +599,40 @@ def ft_typesense_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         wand_topk_infix(idx, _TS_INFIX_Q, k=_TS_K, mode="or"), "infix"
     )
 
+    # split_join drives the FACADE end-to-end (it is a query-level
+    # retry, not a kernel helper): num_typos=0 keeps typo correction
+    # out of the probe — 'cust' is within distance 2 of several
+    # vocabulary words, and a successful correction would produce hits
+    # and legitimately suppress the fallback (the typo × split_join
+    # precedence is pytest-gated instead)
+    def _facade_positions(resp: dict, name: str) -> DataFrame:
+        return spark.createDataFrame(
+            [
+                (i + 1, h["document"]["doc_id"], h["text_match"])
+                for i, h in enumerate(resp["hits"])
+            ],
+            "position int, doc_id long, score double",
+        ).select(
+            F.lit(name).alias("behavior"), "position", "doc_id", "score"
+        )
+
+    join_b = _facade_positions(
+        facade_search(
+            spark, sf_dir,
+            {"q": _TS_JOIN_Q, "split_join_tokens": "fallback",
+             "num_typos": 0, "per_page": _TS_K},
+        ),
+        "join",
+    )
+    split_b = _facade_positions(
+        facade_search(
+            spark, sf_dir,
+            {"q": _TS_SPLIT_Q, "split_join_tokens": "fallback",
+             "num_typos": 0, "per_page": _TS_K},
+        ),
+        "split",
+    )
+
     # curation drives the facade itself end-to-end: choices derived
     # from the data (top-1 hidden, top-5 pinned first, lowest
     # non-matching doc pinned third) so both sides stay deterministic
@@ -622,6 +667,8 @@ def ft_typesense_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(drop)
         .unionByName(prefix)
         .unionByName(infix)
+        .unionByName(join_b)
+        .unionByName(split_b)
         .unionByName(curation)
         .orderBy("behavior", "position")
     )
@@ -659,6 +706,12 @@ def _mf_defaults_sql() -> str:
         "infix": osql.infix_multifield_sql(
             _MF_INFIX_Q, _MF_ORACLE_FIELDS, _MF_K
         ),
+        "join": osql.split_join_multifield_sql(
+            _TS_JOIN_Q, _MF_ORACLE_FIELDS, _MF_K
+        ),
+        "split": osql.split_join_multifield_sql(
+            _TS_SPLIT_Q, _MF_ORACLE_FIELDS, _MF_K
+        ),
     }
     parts = [
         f"SELECT '{name}' AS behavior, doc_id, score FROM ({sql.strip()})"
@@ -690,7 +743,13 @@ def ft_mf_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``infix``: within-word expansion (vocabulary ``contains``,
       df-ranked, probed token kept) scoring as ONE slot per field —
       best matched word per (doc, field), fields sum under their
-      weights (same slot shape as prefix)."""
+      weights (same slot shape as prefix);
+    - ``join`` / ``split``: split_join_tokens=fallback through the
+      FACADE with query_by — the rewrite probes the artifact's
+      summed-df vocabulary and the retried query runs the weighted
+      multifield kernel; the oracle replays the zero-hit gate and the
+      df-chosen rewrite from mfvocab in SQL
+      (oracle/sql.py::split_join_multifield_sql)."""
     from pyf_aggregator_spark.functions.tokenize import tokenize_py
     from pyf_aggregator_spark.search.fallback import drop_tokens_mf_with_found
     from pyf_aggregator_spark.search.infix import expand_infix
@@ -735,11 +794,40 @@ def ft_mf_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         mf, _5F_WEIGHTS, "", k=_MF_K, mode="or", slot_terms=[infix_slot]
     ).select(F.lit("infix").alias("behavior"), "doc_id", "score")
 
+    # split_join × query_by through the FACADE (the wrapper probes the
+    # artifact's summed-df vocabulary and the retry runs the multifield
+    # kernel); num_typos=0 keeps correction out of the probe, as in the
+    # single-field graded branches
+    from pyf_aggregator_spark.search.api import search as facade_search
+
+    def _mf_facade(q: str, name: str) -> DataFrame:
+        resp = facade_search(
+            spark, sf_dir,
+            {"q": q, "query_by": ",".join(_5F_WEIGHTS),
+             "query_by_weights": ",".join(
+                 str(int(w)) for w in _5F_WEIGHTS.values()
+             ),
+             "split_join_tokens": "fallback", "num_typos": 0,
+             "per_page": _MF_K},
+        )
+        return spark.createDataFrame(
+            [
+                (h["document"]["doc_id"], h["text_match"])
+                for h in resp["hits"]
+            ],
+            "doc_id long, score double",
+        ).select(F.lit(name).alias("behavior"), "doc_id", "score")
+
+    join_side = _mf_facade(_TS_JOIN_Q, "join")
+    split_side = _mf_facade(_TS_SPLIT_Q, "split")
+
     return (
         and_side.unionByName(drop_side)
         .unionByName(prefix_side)
         .unionByName(typo_side)
         .unionByName(infix_side)
+        .unionByName(join_side)
+        .unionByName(split_side)
         .orderBy("behavior", F.desc("score"), F.asc("doc_id"))
     )
 

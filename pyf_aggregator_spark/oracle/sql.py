@@ -675,3 +675,199 @@ def corpus_stats_sql() -> str:
         f"WITH {TOKENS_CTE} "
         "SELECT n_docs, total_len, round(avgdl, 6) AS avgdl FROM corpus"
     )
+
+
+def _or_hits_cte(name: str, in_expr: str) -> str:
+    """Disjunctive BM25 hit-set CTE over a term-set expression (either
+    a literal IN list or a subquery) — shared by the split_join oracle's
+    original/joined/rewritten rankings."""
+    return f"""
+{name} AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / c.avgdl))
+         ) AS raw_score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus c
+  WHERE tf.term IN {in_expr}
+  GROUP BY tf.doc_id
+)"""
+
+
+def split_join_topk_sql(query: str, k: int = 10) -> str:
+    """split_join_tokens=fallback oracle (or-mode, ≤2-token probe —
+    precedent: the infix oracles grade fixed probe shapes). Replays the
+    engine rule (search/splitjoin.py) INDEPENDENTLY, every decision
+    made in SQL from dfreq:
+
+    1. the query as typed wins when it matches ≥1 document;
+    2. else a greedy JOIN: the adjacent-pair concatenation, when it is
+       a vocabulary term, replaces both tokens;
+    3. else each token ABSENT from the vocabulary SPLITS into the
+       two-vocabulary-word pair maximizing min(df(l), df(r)) (ties:
+       leftmost split point); known tokens ride along unchanged;
+    4. when neither rewrite is derivable the original (empty) result
+       stands.
+
+    The rewritten ranking scores the SQL-chosen term set — the split
+    halves are data-chosen inside the query, never hard-coded."""
+    toks = tokenize_py(query)
+    assert 1 <= len(toks) <= 2, "split_join oracle grades a ≤2-token probe"
+    orig_in = "(" + ", ".join(f"'{t}'" for t in sorted(set(toks))) + ")"
+    joined = toks[0] + toks[1] if len(toks) == 2 else None
+
+    # per-token best-split CTEs: candidate (left, right) literal pairs
+    # enumerated at authoring time (the token is a probe literal), the
+    # CHOICE made in SQL by df
+    split_ctes, split_unions = [], []
+    for ti, t in enumerate(toks):
+        pairs = ", ".join(
+            f"({i}, '{t[:i]}', '{t[i:]}')" for i in range(1, len(t))
+        ) or "(0, '', '')"
+        split_ctes.append(f"""
+cand{ti} AS (
+  SELECT v.i, v.l, v.r, least(fl.df, fr.df) AS min_df
+  FROM (VALUES {pairs}) v(i, l, r)
+  JOIN dfreq fl ON fl.term = v.l
+  JOIN dfreq fr ON fr.term = v.r
+),
+best{ti} AS (
+  SELECT l, r FROM cand{ti} ORDER BY min_df DESC, i ASC LIMIT 1
+),
+tok{ti} AS (
+  -- the token's contribution to the rewritten term set: itself when
+  -- known, its best split when unknown and splittable, else itself
+  SELECT term FROM (SELECT '{t}' AS term) s
+  WHERE EXISTS (SELECT 1 FROM dfreq WHERE term = '{t}')
+  UNION ALL
+  SELECT l FROM best{ti}
+  WHERE NOT EXISTS (SELECT 1 FROM dfreq WHERE term = '{t}')
+  UNION ALL
+  SELECT r FROM best{ti}
+  WHERE NOT EXISTS (SELECT 1 FROM dfreq WHERE term = '{t}')
+)""")
+        split_unions.append(f"SELECT term FROM tok{ti}")
+    any_split = " OR ".join(
+        f"""(EXISTS (SELECT 1 FROM best{ti})
+         AND NOT EXISTS (SELECT 1 FROM dfreq WHERE term = '{t}'))"""
+        for ti, t in enumerate(toks)
+    )
+    rewrite_terms = " UNION ".join(split_unions)
+
+    join_exists = (
+        f"EXISTS (SELECT 1 FROM dfreq WHERE term = '{joined}')"
+        if joined
+        else "1=0"
+    )
+    orig_n = "(SELECT count(*) FROM h_orig)"
+    branches = [
+        f"SELECT doc_id, raw_score FROM h_orig WHERE {orig_n} >= 1",
+        f"""SELECT doc_id, raw_score FROM h_joined
+  WHERE {orig_n} = 0 AND {join_exists}""",
+        f"""SELECT doc_id, raw_score FROM h_split
+  WHERE {orig_n} = 0 AND NOT ({join_exists}) AND ({any_split})""",
+    ]
+    joined_cte = _or_hits_cte(
+        "h_joined", f"('{joined}')" if joined else "('')"
+    )
+    return f"""
+WITH {TOKENS_CTE},{_or_hits_cte("h_orig", orig_in)},{joined_cte},{",".join(split_ctes)},{_or_hits_cte("h_split", f"(SELECT term FROM ({rewrite_terms}))")}
+SELECT doc_id, round(raw_score, {SCORE_DECIMALS}) AS score
+FROM ({" UNION ALL ".join(branches)})
+ORDER BY round(raw_score, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def split_join_multifield_sql(
+    query: str, fields: dict[str, float], k: int = 10
+) -> str:
+    """Multifield split_join_tokens=fallback oracle (or-mode, ≤2-token
+    probe): the same decision chain as split_join_topk_sql, but
+    membership/df come from the SUMMED-df vocabulary (mfvocab — the
+    stats the facade's query_by rewrite probes) and both rankings are
+    weighted multifield sums. Every candidate term is an authoring-time
+    literal (the probe's tokens, their concatenation, every split
+    half); only the CHOICE is made in SQL."""
+    toks = tokenize_py(query)
+    assert 1 <= len(toks) <= 2, "split_join mf oracle grades a ≤2-token probe"
+    joined = toks[0] + toks[1] if len(toks) == 2 else None
+
+    cands = set(toks)
+    if joined:
+        cands.add(joined)
+    for t in toks:
+        for i in range(1, len(t)):
+            cands.update((t[:i], t[i:]))
+    all_in = "(" + ", ".join(f"'{c}'" for c in sorted(cands)) + ")"
+    orig_in = "(" + ", ".join(f"'{t}'" for t in sorted(set(toks))) + ")"
+
+    split_ctes, split_unions = [], []
+    for ti, t in enumerate(toks):
+        pairs = ", ".join(
+            f"({i}, '{t[:i]}', '{t[i:]}')" for i in range(1, len(t))
+        ) or "(0, '', '')"
+        split_ctes.append(f"""
+cand{ti} AS (
+  SELECT v.i, v.l, v.r, least(fl.df, fr.df) AS min_df
+  FROM (VALUES {pairs}) v(i, l, r)
+  JOIN mfvocab fl ON fl.term = v.l
+  JOIN mfvocab fr ON fr.term = v.r
+),
+best{ti} AS (
+  SELECT l, r FROM cand{ti} ORDER BY min_df DESC, i ASC LIMIT 1
+),
+tok{ti} AS (
+  SELECT term FROM (SELECT '{t}' AS term) s
+  WHERE EXISTS (SELECT 1 FROM mfvocab WHERE term = '{t}')
+  UNION ALL
+  SELECT l FROM best{ti}
+  WHERE NOT EXISTS (SELECT 1 FROM mfvocab WHERE term = '{t}')
+  UNION ALL
+  SELECT r FROM best{ti}
+  WHERE NOT EXISTS (SELECT 1 FROM mfvocab WHERE term = '{t}')
+)""")
+        split_unions.append(f"SELECT term FROM tok{ti}")
+    any_split = " OR ".join(
+        f"""(EXISTS (SELECT 1 FROM best{ti})
+         AND NOT EXISTS (SELECT 1 FROM mfvocab WHERE term = '{t}'))"""
+        for ti, t in enumerate(toks)
+    )
+    join_exists = (
+        f"EXISTS (SELECT 1 FROM mfvocab WHERE term = '{joined}')"
+        if joined
+        else "1=0"
+    )
+    rewr_terms = " UNION ".join(split_unions)
+    mid = f"{_mf_vocab_cte(len(fields))},{','.join(split_ctes)}"
+    orig_n = "(SELECT count(*) FROM orig_agg)"
+    branches = [
+        f"SELECT doc_id, raw FROM orig_agg WHERE {orig_n} >= 1",
+        f"""SELECT doc_id, raw FROM joined_agg
+  WHERE {orig_n} = 0 AND {join_exists}""",
+        f"""SELECT doc_id, raw FROM rewr_agg
+  WHERE {orig_n} = 0 AND NOT ({join_exists}) AND ({any_split})""",
+    ]
+    joined_in = f"('{joined}')" if joined else "('')"
+    return f"""
+WITH {_mf_scaffold(fields, all_in, mid)},
+orig_agg AS (
+  SELECT doc_id, sum(wcontrib) AS raw FROM union_per
+  WHERE term IN {orig_in} GROUP BY doc_id
+),
+joined_agg AS (
+  SELECT doc_id, sum(wcontrib) AS raw FROM union_per
+  WHERE term IN {joined_in} GROUP BY doc_id
+),
+rewr_agg AS (
+  SELECT doc_id, sum(wcontrib) AS raw FROM union_per
+  WHERE term IN (SELECT term FROM ({rewr_terms})) GROUP BY doc_id
+)
+SELECT doc_id, round(raw, {SCORE_DECIMALS}) AS score
+FROM ({" UNION ALL ".join(branches)})
+ORDER BY round(raw, {SCORE_DECIMALS}) DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -45,6 +45,17 @@ applies silently) and returns a Typesense-shaped response dict:
     drop_tokens_threshold retry with dropped tokens when hits < N —
                          applies on every ranked path (top-k, grouped,
                          sort_by override), as Typesense's default does
+    split_join_tokens    off|fallback|always (default off here;
+                         Typesense defaults fallback) — space-as-typo:
+                         when the query as typed matches NOTHING,
+                         adjacent tokens whose concatenation is a
+                         vocabulary term join ("basket ball" →
+                         basketball) and unknown tokens split into
+                         their best two-vocabulary-word pair
+                         ("basketball" → basket ball); the one
+                         rewritten query re-enters the full pipeline
+                         (always = rewrite without the zero-result
+                         gate); quoted q disables it (exact)
     infix                off|fallback|always (default off, Typesense's
                          default) — within-word matching: a token
                          expands against vocabulary words CONTAINING it
@@ -404,7 +415,67 @@ def _apply_filters(docs: DataFrame, clauses) -> DataFrame:
 def search(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     """One-call search over the driver's documents table, composed from
     the engine's scale paths (segment/WAND engine, kernel-pushed
-    filters, hit-set facets)."""
+    filters, hit-set facets). This wrapper adds split_join_tokens —
+    Typesense's space-as-typo fallback (upstream DEFAULT: fallback;
+    here off like prefix, driven explicitly): when the query as typed
+    matches nothing, adjacent tokens whose concatenation is a
+    vocabulary term JOIN, and tokens absent from the vocabulary SPLIT
+    into their best two-vocabulary-word pair, then the ONE rewritten
+    query re-enters the full pipeline (filter/sort/group/facets/typo
+    all compose on the retry). The rewrite rule + its scale shape live
+    in search/splitjoin.py; the DuckDB oracle replays the decisions
+    independently (oracle/sql.py::split_join_topk_sql)."""
+    sj = str(params.get("split_join_tokens", "off")).lower()
+    if sj not in ("off", "fallback", "always"):
+        raise ValueError(
+            "split_join_tokens must be one of off|fallback|always"
+        )
+    q = params.get("q", "*")
+    # quoted q = exact (the same rule that disables typo/prefix/drop
+    # inside quotes); match-all has nothing to rewrite
+    if sj == "off" or q == "*" or '"' in q or not tokenize_py(q):
+        return _search_one(spark, sf_dir, params)
+    resp = None
+    if sj == "fallback":
+        resp = _search_one(spark, sf_dir, params)
+        if resp.get("found", 0) > 0:
+            return resp
+    new_terms = _split_join_terms(spark, sf_dir, params)
+    if new_terms is None:
+        # nothing derivable: the original result stands (one retry max)
+        return resp if resp is not None else _search_one(
+            spark, sf_dir, params
+        )
+    retry = dict(params)
+    retry["q"] = " ".join(new_terms)
+    retry["split_join_tokens"] = "off"
+    return _search_one(spark, sf_dir, retry)
+
+
+def _split_join_terms(
+    spark: SparkSession, sf_dir: str, params: dict
+) -> list[str] | None:
+    """Probe the engine's OWN vocabulary (single-field segment stats,
+    or the multifield artifact's summed-df stats when query_by rides
+    along — the same vocabulary the typo/prefix paths consult) and
+    apply the join-then-split rewrite to the query as typed."""
+    from pyf_aggregator_spark.operators.fulltext_extra import (
+        documents_multifield_index,
+        documents_segment_index,
+    )
+    from pyf_aggregator_spark.search.splitjoin import split_join_rewrite
+
+    toks = tokenize_py(params.get("q", ""))
+    if params.get("query_by"):
+        mf = documents_multifield_index(spark, sf_dir)
+        ts = mf["term_stats"].groupBy("term").agg(F.sum("df").alias("df"))
+    else:
+        ts = documents_segment_index(spark, sf_dir)["term_stats"]
+    return split_join_rewrite(ts, toks)
+
+
+def _search_one(spark: SparkSession, sf_dir: str, params: dict) -> dict:
+    """One pipeline pass (everything except the split_join retry)."""
     from pyf_aggregator_spark.operators.fulltext_extra import (
         documents_segment_index,
         grouped_search,

@@ -362,8 +362,58 @@ class FacadeModel:
             )
         return out
 
+    # ------------------------------------------- split_join_tokens
+    def _split_join_rewrite(self, toks, mf: bool):
+        """Re-derived space-as-typo rewrite (documented rule, not an
+        engine import): greedy left-to-right JOIN of adjacent tokens
+        whose concatenation is a vocabulary term, then each UNKNOWN
+        token SPLITS into the two-vocabulary-word pair maximizing
+        min(df(l), df(r)) (ties: leftmost). None when unchanged."""
+        df = self._vocab_df(mf)
+        out, changed, i = [], False, 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] + toks[i + 1] in df:
+                out.append(toks[i] + toks[i + 1])
+                i += 2
+                changed = True
+                continue
+            t = toks[i]
+            if t not in df:
+                best, best_key = None, -1
+                for j in range(1, len(t)):
+                    l, r = t[:j], t[j:]
+                    if l in df and r in df and min(df[l], df[r]) > best_key:
+                        best, best_key = (l, r), min(df[l], df[r])
+                if best is not None:
+                    out.extend(best)
+                    i += 1
+                    changed = True
+                    continue
+            out.append(t)
+            i += 1
+        return out if changed else None
+
     # ------------------------------------------------------- search
     def search(self, params: dict) -> dict:
+        sj = str(params.get("split_join_tokens", "off")).lower()
+        q = params.get("q", "*")
+        if sj == "off" or q == "*" or '"' in q or not tokenize(q):
+            return self._search_one(params)
+        resp = None
+        if sj == "fallback":
+            resp = self._search_one(params)
+            if resp.get("found", 0) > 0:
+                return resp
+        new = self._split_join_rewrite(
+            tokenize(q), bool(params.get("query_by"))
+        )
+        if new is None:
+            return resp if resp is not None else self._search_one(params)
+        return self._search_one(
+            {**params, "q": " ".join(new), "split_join_tokens": "off"}
+        )
+
+    def _search_one(self, params: dict) -> dict:
         q = params.get("q", "*")
         page = int(params.get("page", 1))
         per_page = int(params.get("per_page", 10))

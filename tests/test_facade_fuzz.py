@@ -33,6 +33,7 @@ VOCAB = [
 QUERY_EXTRAS = [
     "vectr", "tabel", "strean", "windoq", "alignmant",  # typo targets
     "vec", "win", "ta", "ect", "able", "zzq",           # prefix/infix/unknown
+    "sortmerge", "datascan", "les",  # split targets + 'tab les' join
 ]
 SEPS = [" ", " ", " ", " ", ".", "-", "_", "/", "@"]
 
@@ -105,6 +106,13 @@ def _draw(rng: random.Random, i: int, docs: list[dict]):
         p["q"] = " ".join(rng.choice(pool) for _ in range(k))
     p["mode"] = rng.choice(["or", "or", "and"])
     p["num_typos"] = rng.choice([0, 0, 1, 2])
+    if rng.random() < 0.25:
+        # split_join composes with every family (the wrapper re-enters
+        # the full pipeline, so group/sort/filter/curation draws all
+        # exercise the retry path when the original draw zero-hits)
+        p["split_join_tokens"] = rng.choice(
+            ["fallback", "fallback", "always"]
+        )
     p["page"] = rng.choice([1, 1, 1, 2, 3])
     p["per_page"] = rng.randint(2, 7)
 
