@@ -214,3 +214,22 @@ def test_facade_split_join_multifield(spark, sf_dir):
     )
     assert _ids(mf) == _ids(direct)
     assert mf["found"] == direct["found"]
+
+
+def test_facade_drop_cascade_precedes_split_join(spark, sf_dir):
+    """Pinned order among fallbacks: the drop_tokens cascade runs
+    INSIDE the pipeline pass, so an and-mode query rescued by dropping
+    its unknown tail (found ≥ 1) never reaches the split_join retry —
+    split_join is the LAST resort, firing only when the pass as a whole
+    (cascade included) matches nothing."""
+    r = search(
+        spark, sf_dir,
+        {"q": "spark qqqzzz", "mode": "and", "num_typos": 0,
+         "drop_tokens_threshold": 1, "split_join_tokens": "fallback",
+         "per_page": 10},
+    )
+    direct = search(
+        spark, sf_dir, {"q": "spark", "num_typos": 0, "per_page": 10}
+    )
+    assert _ids(r) == _ids(direct)
+    assert r["found"] == direct["found"] > 0
