@@ -67,8 +67,14 @@ def main() -> None:
     up.add_argument("--partitions", type=int, default=1)
 
     de = sub.add_parser("delete")
-    de.add_argument("--input", required=True, help="parquet with doc_id")
+    de.add_argument("--input", required=True,
+                    help="parquet with doc_id (or the documents table "
+                         "when --filter-by is given)")
     de.add_argument("--index-dir", required=True)
+    de.add_argument("--filter-by", default=None,
+                    help="Typesense filter_by (e.g. 'name:=pkg && "
+                         "registry:=pypi') — resolve matching doc_ids "
+                         "from --input and tombstone them")
 
     co = sub.add_parser("compact")
     co.add_argument("--index-dir", required=True)
@@ -222,11 +228,21 @@ def main() -> None:
         out = {**info, "cmd": "upsert", "sec": round(time.monotonic() - t0, 2)}
 
     elif args.cmd == "delete":
-        from pyf_aggregator_spark.index.incremental import delete_docs
+        if args.filter_by:
+            from pyf_aggregator_spark.index.incremental import delete_documents
 
-        n = delete_docs(
-            spark, args.index_dir, spark.read.parquet(args.input).select("doc_id")
-        )
+            r = delete_documents(
+                spark, args.index_dir,
+                spark.read.parquet(args.input), args.filter_by,
+            )
+            n = r["num_deleted"]
+        else:
+            from pyf_aggregator_spark.index.incremental import delete_docs
+
+            n = delete_docs(
+                spark, args.index_dir,
+                spark.read.parquet(args.input).select("doc_id"),
+            )
         out = {"cmd": "delete", "n_tombstoned": n,
                "sec": round(time.monotonic() - t0, 2)}
 

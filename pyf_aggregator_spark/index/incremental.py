@@ -329,6 +329,37 @@ def delete_docs(
     return n
 
 
+def delete_documents(
+    spark: SparkSession, index_dir: str, docs: DataFrame, filter_by: str
+) -> dict:
+    """Typesense ``collection.documents.delete({"filter_by": ...})``
+    analog — the reference's delete surface (db.py:372-375:
+    delete_package_by_name composes ``name:=X && registry:=Y``;
+    db.py:366-370's exclude_registry walk is the null-tolerant
+    ``registry:!=X`` clause in this grammar): resolve the matching
+    doc_ids against the live documents table with the facade's
+    filter_by grammar (search/api.py::parse_filter_by — backtick
+    quoting, ``:=``/``:!=`` with 3VL null tolerance) and tombstone
+    them with delete_docs semantics (immutable segments, scoped
+    tombstones). Returns Typesense's response shape
+    ``{"num_deleted": N}``.
+
+    Scale shape: the filter is plain Catalyst predicates over the docs
+    scan (pushed down, column-pruned to doc_id + the filtered fields);
+    only the matching doc_ids flow into the tombstone write — nothing
+    is collected driver-side."""
+    from pyf_aggregator_spark.search.api import (
+        _apply_filters,
+        parse_filter_by,
+    )
+
+    clauses = parse_filter_by(filter_by)
+    if not clauses:
+        raise ValueError("delete_documents requires a non-empty filter_by")
+    ids = _apply_filters(docs, clauses).select("doc_id")
+    return {"num_deleted": delete_docs(spark, index_dir, ids)}
+
+
 def load_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """→ DataFrame(doc_id, scope_part, kind) | None — one row per
     doc_id: the operation with the widest scope (scopes grow with op

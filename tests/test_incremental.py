@@ -162,6 +162,57 @@ def test_resume_reconciles_orphan_segments(spark, tmp_path):
     docs.unpersist()
 
 
+def test_delete_documents_by_filter(spark, tmp_path):
+    """The reference's delete surface (db.py:372-375 —
+    ``documents.delete({"filter_by": "name:=X && registry:=Y"})``):
+    ids resolve against the documents table via the facade grammar,
+    land as tombstones, and the Typesense response shape
+    ``{"num_deleted": N}`` comes back."""
+    from pyf_aggregator_spark.index.incremental import delete_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha common w1", "pypi"),
+            (1, "beta common w2", "npm"),
+            (2, "gamma common w3", None),
+            (3, "delta common w4", "pypi"),
+        ],
+        "doc_id long, text string, registry string",
+    )
+    d = str(tmp_path / "idx")
+    build_segments(docs.select("doc_id", "text"), d, num_partitions=2,
+                   lineage="b")
+    r = delete_documents(spark, d, docs, "registry:=pypi")
+    assert r == {"num_deleted": 2}
+    got = {
+        row["doc_id"]
+        for row in wand_topk(
+            load_index(spark, d), "common", k=10, mode="or"
+        ).collect()
+    }
+    assert got == {1, 2}
+
+    # the exclude_registry walk (db.py:366-370: "keep this registry's
+    # documents and delete the rest") = the null-tolerant :!= clause;
+    # it matches the NULL-registry doc too — delete and search agree on
+    # the 3VL grammar, so what :!= RETURNS is exactly what it DELETES
+    d2 = str(tmp_path / "idx2")
+    build_segments(docs.select("doc_id", "text"), d2, num_partitions=2,
+                   lineage="b")
+    r2 = delete_documents(spark, d2, docs, "registry:!=npm")
+    assert r2 == {"num_deleted": 3}
+    got2 = {
+        row["doc_id"]
+        for row in wand_topk(
+            load_index(spark, d2), "common", k=10, mode="or"
+        ).collect()
+    }
+    assert got2 == {1}
+
+    with pytest.raises(ValueError):
+        delete_documents(spark, d2, docs, "")
+
+
 def test_tombstones_at_volume_no_driver_set(spark, tmp_path):
     """10^5 tombstones ship as sentinel rows through the partition
     shuffle (no driver-side frozenset in the task closure); top-k stays
