@@ -182,8 +182,9 @@ def _topk_one_query(
     in at least one queried field" multifield semantics. None → groups
     follow slots (the single-field prefix case), else each term is its
     own group. Slots must nest inside groups (every member of a slot
-    shares the group). The interval upper bound stays Σ per-term
-    bounds, which dominates the Σ-of-slot-maxima true score — pruning
+    shares the group). The interval upper bound is Σ per-term bounds
+    weighted by slot multiplicity (a term in m slots can feed m slot
+    maxima), which dominates the Σ-of-slot-maxima true score — pruning
     stays exact, merely less tight on slotted queries.
 
     ``slots``/``groups`` values are TUPLES of ids: a term shared by
@@ -213,7 +214,14 @@ def _topk_one_query(
         return []
     ivl_lo, ivl_hi = edges[:-1], edges[1:] - 1  # inclusive doc ranges
 
-    # upper bound per interval = Σ idf_t · max_norm of the covering block
+    # upper bound per interval = Σ idf_t · max_norm of the covering
+    # block — weighted by the term's SLOT MULTIPLICITY when slots are
+    # in play: a term belonging to m slots can contribute to each
+    # slot's max, so its true per-doc ceiling is m × its bound (a doc
+    # containing only a term shared by both slots of 'vector vec'
+    # scores 2·contrib; an unweighted Σ would under-estimate and prune
+    # true top-k docs — caught by the seed-1301 differential fuzz).
+    # Σ_s slotmax_s ≤ Σ_s Σ_{t∈s} bound_t = Σ_t |slots[t]|·bound_t.
     n_ivl = len(ivl_lo)
     ub = np.zeros(n_ivl, dtype=np.float64)
     active = np.zeros((len(terms), n_ivl), dtype=bool)
@@ -224,7 +232,10 @@ def _topk_one_query(
         maxn = g["max_norm"].to_numpy(np.float64)
         bi = np.searchsorted(firsts, ivl_lo, side="right") - 1
         ok = (bi >= 0) & (ivl_lo <= lasts[np.clip(bi, 0, None)])
-        ub += np.where(ok, idf_map[t] * maxn[np.clip(bi, 0, None)] * factor, 0.0)
+        mult = len(slots[t]) if slots is not None else 1
+        ub += np.where(
+            ok, idf_map[t] * maxn[np.clip(bi, 0, None)] * factor * mult, 0.0
+        )
         active[ti] = ok
     if mode == "and":
         if groups is None:

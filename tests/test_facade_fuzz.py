@@ -339,3 +339,47 @@ def test_batch_fuzz_matches_model(spark, corpus):
             f"seed={seed} typos={num_typos} {qid}: "
             f"{got[qid]} != {expected[qid]}"
         )
+
+
+def test_seed1301_shared_slot_prune_regression(spark, tmp_path_factory):
+    """Pinned regression for the shared-slot-member WAND bound: a term
+    belonging to SEVERAL slots can feed each slot's max, so the
+    interval upper bound must weight it by its slot multiplicity — the
+    unweighted Σ under-estimated docs matching ONLY shared members and
+    pruned them out of small-k pages (found by this fuzz at seed 1301,
+    draw 72: 'vector vec' + prefix + infix=always expands both tokens
+    into overlapping sets; doc 25, true rank 4, vanished from the
+    k = 2×3 page while found stayed exact)."""
+    seed = 1301
+    docs = _gen_docs(random.Random(seed))
+    base = tmp_path_factory.mktemp("seed1301")
+    sf_dir = str(base / "corpus")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [
+            (d["doc_id"], d["text"], d["lang"], d["source"], d["n_chars"])
+            for d in docs
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(2).write.parquet(f"{sf_dir}/documents.parquet")
+    old = os.environ.get("PYFAGG_SEG_CACHE")
+    os.environ["PYFAGG_SEG_CACHE"] = str(base / "segcache")
+    try:
+        params = {
+            "q": "vector vec", "mode": "and", "num_typos": 2,
+            "page": 2, "per_page": 3, "prefix": True, "infix": "always",
+            "filter_by": "lang:!=en",
+        }
+        got = search(spark, sf_dir, dict(params))
+        want = FacadeModel(docs).search(
+            {**params, "_clauses": [("lang", ["en"], True)]}
+        )
+        _assert_same(got, want, f"pinned seed={seed} params={params}")
+        # the doc the under-estimated bound pruned leads the page
+        assert [h["document"]["doc_id"] for h in got["hits"]] == [25, 29, 16]
+        assert got["found"] == 37
+    finally:
+        if old is None:
+            os.environ.pop("PYFAGG_SEG_CACHE", None)
+        else:
+            os.environ["PYFAGG_SEG_CACHE"] = old
