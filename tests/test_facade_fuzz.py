@@ -72,6 +72,18 @@ def _tok(text: str) -> list[str]:
     return [t for t in _re.split(r"[\s.\-_@/]+", text.lower()) if t]
 
 
+def _draw_query_by(rng: random.Random, p: dict) -> None:
+    fields = rng.sample(
+        ["name", "title", "first_chapter", "main_content", "changelog"],
+        rng.randint(1, 3),
+    )
+    p["query_by"] = ",".join(fields)
+    if rng.random() < 0.6:
+        p["query_by_weights"] = ",".join(
+            str(rng.randint(1, 10)) for _ in fields
+        )
+
+
 def _draw(rng: random.Random, i: int, docs: list[dict]):
     """→ (facade params, structured clauses for the model). Draw ``i``
     forces a feature family so every branch is exercised per corpus."""
@@ -129,6 +141,8 @@ def _draw(rng: random.Random, i: int, docs: list[dict]):
         if p["mode"] == "and" and rng.random() < 0.5:
             # the drop cascade applies to grouped searches too
             p["drop_tokens_threshold"] = rng.randint(1, 2)
+        if rng.random() < 0.3:
+            _draw_query_by(rng, p)  # grouped × multifield
     if fam == 5:
         keys = rng.sample(
             ["n_chars:desc", "n_chars:asc", "lang:asc", "source:desc"],
@@ -138,6 +152,8 @@ def _draw(rng: random.Random, i: int, docs: list[dict]):
         if p["mode"] == "and" and rng.random() < 0.5:
             # the drop cascade applies under sort_by too
             p["drop_tokens_threshold"] = rng.randint(1, 2)
+        if rng.random() < 0.3:
+            _draw_query_by(rng, p)  # sort_by override × multifield
     if fam == 6 and p["q"] not in ("*", ".", "") and not p.get("sort_by"):
         # curation: ranked only, no sort/group (facade raises otherwise)
         pins = []
@@ -156,16 +172,19 @@ def _draw(rng: random.Random, i: int, docs: list[dict]):
                 str(rng.randrange(len(docs)))
                 for _ in range(rng.randint(1, 2))
             )
+    if fam == 6 and "pinned_hits" in p or fam == 6 and "hidden_hits" in p:
+        if rng.random() < 0.25:
+            _draw_query_by(rng, p)  # curation × multifield
     if fam == 7:
-        fields = rng.sample(
-            ["name", "title", "first_chapter", "main_content", "changelog"],
-            rng.randint(1, 3),
-        )
-        p["query_by"] = ",".join(fields)
-        if rng.random() < 0.6:
-            p["query_by_weights"] = ",".join(
-                str(rng.randint(1, 10)) for _ in fields
-            )
+        _draw_query_by(rng, p)
+        # the r4 headline gap: the Typesense defaults must compose on
+        # the multifield surface — cross them in directly
+        if rng.random() < 0.3:
+            p["infix"] = rng.choice(["fallback", "always"])
+        if p["mode"] == "and" and rng.random() < 0.4 and not (
+            p.get("prefix") or p.get("infix")
+        ):
+            p["drop_tokens_threshold"] = rng.randint(1, 2)
     if fam == 8 or rng.random() < 0.2:
         inc = rng.sample(["doc_id", "lang", "source", "n_chars"], rng.randint(1, 3))
         p["include_fields"] = ",".join(inc)
