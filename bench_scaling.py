@@ -173,9 +173,11 @@ shape scales on partition count.
   (the allocation-free arithmetic control shows the same ceiling).
 """
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
-    # raw per-run report; BENCH/BASELINE.md is the curated multi-run
-    # summary and is maintained by hand from these
-    with open(os.path.join(HERE, "BENCH", "SCALING_RUN.md"), "w") as f:
+    # raw per-run report. Written to its own file: SCALING_RUN.md and
+    # BASELINE.md are the curated multi-round summaries, maintained by
+    # hand from these raws (an earlier version clobbered the curated
+    # narrative by writing SCALING_RUN.md directly)
+    with open(os.path.join(HERE, "BENCH", "SCALING_RUN_raw.md"), "w") as f:
         f.write(md)
     print(
         json.dumps(
