@@ -3,7 +3,11 @@
 
     spark-submit --py-files /tmp/pyf_aggregator_spark_pyfiles_<pid>.zip \\
         jobs.py build  --input <transcripts_parquet> --index-dir <dir>
+    spark-submit ... jobs.py build  --input table:cat.db.transcripts \\
+        [--snapshot-id N | --as-of-timestamp MS] --index-dir <dir>
     spark-submit ... jobs.py append --input <delta_parquet> --index-dir <dir>
+    spark-submit ... jobs.py append --input table:cat.db.transcripts \\
+        --start-snapshot-id N [--end-snapshot-id M] --index-dir <dir>
     spark-submit ... jobs.py query  --index-dir <dir> --query "w1 w2" \\
         [--mode and|or] [--k 10]
     spark-submit ... jobs.py query-batch --index-dir <dir> --queries <parquet>
@@ -34,14 +38,32 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
 
+    def _input_args(p) -> None:
+        # input = parquet path OR `table:<name>` (catalog/Iceberg table;
+        # pyf_aggregator_spark.io.read_input dispatch). Snapshot options
+        # are Iceberg's documented reader surface, table: refs only.
+        p.add_argument(
+            "--input", required=True,
+            help="transcripts parquet path, or table:<catalog table>",
+        )
+        p.add_argument("--snapshot-id", type=int, default=None,
+                       help="Iceberg time travel (table: refs)")
+        p.add_argument("--as-of-timestamp", type=int, default=None,
+                       help="Iceberg time travel by millis (table: refs)")
+        p.add_argument("--start-snapshot-id", type=int, default=None,
+                       help="Iceberg incremental append scan start "
+                            "(exclusive; table: refs)")
+        p.add_argument("--end-snapshot-id", type=int, default=None,
+                       help="incremental append scan end (inclusive)")
+
     b = sub.add_parser("build")
-    b.add_argument("--input", required=True, help="transcripts parquet/table")
+    _input_args(b)
     b.add_argument("--index-dir", required=True)
     b.add_argument("--partitions", type=int, default=None)
     b.add_argument("--lineage", default="build-v1")
 
     a = sub.add_parser("append")
-    a.add_argument("--input", required=True, help="delta transcripts parquet")
+    _input_args(a)
     a.add_argument("--index-dir", required=True)
     a.add_argument("--partitions", type=int, default=None)
     a.add_argument("--lineage", default="delta-v1")
@@ -140,11 +162,22 @@ def main() -> None:
     ensure_py_files(spark)
     t0 = time.monotonic()
 
+    def _read_input(spark):
+        from pyf_aggregator_spark.io import read_input
+
+        return read_input(
+            spark, args.input,
+            snapshot_id=args.snapshot_id,
+            as_of_timestamp=args.as_of_timestamp,
+            start_snapshot_id=args.start_snapshot_id,
+            end_snapshot_id=args.end_snapshot_id,
+        )
+
     if args.cmd == "build":
         from pyf_aggregator_spark.index.segments import build_segments
 
         docs = assign_doc_ids(
-            spark.read.parquet(args.input), num_partitions=args.partitions
+            _read_input(spark), num_partitions=args.partitions
         )
         docs.select("doc_id", "conv_id", "turn_idx").write.mode(
             "overwrite"
@@ -161,7 +194,7 @@ def main() -> None:
         from pyf_aggregator_spark.index.incremental import append_segments
 
         delta = assign_doc_ids(
-            spark.read.parquet(args.input), num_partitions=args.partitions
+            _read_input(spark), num_partitions=args.partitions
         )
         info = append_segments(
             delta.select("doc_id", "text"),
