@@ -14,8 +14,14 @@ generates that automatically for groupBy; nothing is collected to the
 driver except the 1-row globals when explicitly requested.
 
 Scale notes (100 TB / 10^12 turns):
-- term_freq shuffles on (doc_id, term): pure hash partitioning, no skew
-  issue (doc_id is unique, so hot terms spread across docs).
+- doc_len is a PER-ROW expression (token count), not an aggregate of the
+  exploded postings: sum(tf) over a doc's terms IS its token count, so
+  the tokens→groupBy(doc)→join chain the r5 plan paid (two extra
+  postings-sized shuffles) is gone — doc_stats and corpus cost one
+  narrow scan, and postings need no doc_stats join (the doc_len rides
+  the tf aggregation as first(doc_len)).
+- postings shuffles once on (term, doc_id): pure hash partitioning, no
+  skew issue (doc_id is unique, so hot terms spread across docs).
 - term_stats shuffles on term: Zipf-head terms ("the") are hot keys, but
   the partial aggregation collapses each (partition, term) to one row
   before the shuffle, so the reduce side receives ≤ P rows per term —
@@ -26,6 +32,7 @@ Scale notes (100 TB / 10^12 turns):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -34,36 +41,70 @@ from pyspark.sql import functions as F
 from pyf_aggregator_spark import TOKEN_SEP_RE
 
 
+def _doc_len_col(text_col: str = "text"):
+    """Token count as a per-row expression — identical to sum(tf) over
+    the doc's terms (each token instance counts once), with token-less
+    and NULL docs both at 0 (matching the old left-join + coalesce)."""
+    return F.coalesce(
+        F.size(
+            F.filter(
+                F.split(F.lower(text_col), TOKEN_SEP_RE), lambda t: t != F.lit("")
+            )
+        ),
+        F.lit(0),
+    ).cast("long")
+
+
+def _idmap_broadcast_max() -> int:
+    """Above this corpus size the doc-id map attaches with a shuffle
+    join instead of a broadcast (the map is ~30 B/doc; broadcasting it
+    at 10^9+ docs would OOM the driver). Env-overridable for cluster
+    deployments with bigger driver/executor memory."""
+    return int(os.environ.get("PYFAGG_IDMAP_BROADCAST_MAX", "2000000"))
+
+
+
+
 def assign_doc_ids(
     transcripts: DataFrame, num_partitions: int | None = None
 ) -> DataFrame:
     """Stable global docIDs: dense 0-based rank over (conv_id, turn_idx).
 
     The per-row invariant (BASELINE.json input_hint) requires docID to be
-    a pure function of the stable (conv_id, turn_idx) ordering, identical
-    across re-runs and partitionings.
+    a pure function of the stable (conv_id, turn_idx) ordering — which
+    must be UNIQUE per row — identical across re-runs and partitionings.
 
     A naive global ``row_number() over (order by ...)`` funnels every row
-    through ONE task — impossible at 10^12 rows. Instead:
+    through ONE task — impossible at 10^12 rows. And ranking the full
+    rows (the r5 shape) range-shuffles, persists and sorts the heavy
+    text payload just to compare ~20 bytes of key. Instead (guide §2.3:
+    shuffle keys and metadata, not payloads):
 
-    1. range-repartition by (conv_id, turn_idx) — partitions hold ordered,
-       disjoint key ranges;
-    2. per-partition counts → cumulative offsets (P scalars on the driver);
-    3. within-partition row_number + broadcast-joined offset.
+    1. project to the (conv_id, turn_idx) KEY columns only;
+    2. range-repartition the keys — partitions hold ordered, disjoint
+       key ranges of ~20 B rows;
+    3. per-partition counts → cumulative offsets (P scalars on the
+       driver); within-partition row_number + broadcast-joined offset
+       gives doc_id = offset[p] + local_rank = exactly the global rank
+       regardless of where the range boundaries fall;
+    4. attach the id map back to the full rows with ONE equi-join on the
+       key: broadcast (zero movement of the text payload) below
+       PYFAGG_IDMAP_BROADCAST_MAX docs, an ordinary shuffle join above —
+       either way the text crosses the bus at most once, and the
+       per-partition full-row sort is gone entirely.
 
-    doc_id = offset[p] + local_rank is exactly the global rank regardless
-    of where the range boundaries fall, so the result is deterministic
-    even though range sampling is not.
+    persist: RangePartitioner samples per-evaluation, so without pinning
+    the partitioning, the counts job and the ranking job could see
+    DIFFERENT boundaries → duplicate/missing ids. The pinned frame is
+    keys-only (~20 B/row), not the corpus.
     """
     cols = transcripts.columns
+    spark = transcripts.sparkSession
     if num_partitions is None:
-        num_partitions = transcripts.sparkSession.sparkContext.defaultParallelism
-    # persist: RangePartitioner samples per-evaluation, so without pinning
-    # the partitioning, the counts job and the ranking job could see
-    # DIFFERENT boundaries → duplicate/missing ids. At production scale
-    # this stage is materialized to a table once anyway (SURVEY §7 phase 1).
+        num_partitions = spark.sparkContext.defaultParallelism
+    keys = transcripts.select("conv_id", "turn_idx")
     parted = (
-        transcripts.repartitionByRange(num_partitions, "conv_id", "turn_idx")
+        keys.repartitionByRange(num_partitions, "conv_id", "turn_idx")
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
@@ -75,15 +116,29 @@ def assign_doc_ids(
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    offsets_df = transcripts.sparkSession.createDataFrame(
-        offsets, "_pid int, _offset long"
-    )
+    offsets_df = spark.createDataFrame(offsets, "_pid int, _offset long")
     w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
-    return (
+    id_map = (
         parted.withColumn("_rn", F.row_number().over(w))
         .join(F.broadcast(offsets_df), "_pid")
-        .withColumn("doc_id", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            (F.col("_offset") + F.col("_rn") - 1).cast("long").alias("doc_id"),
+        )
+    )
+    if acc <= _idmap_broadcast_max():
+        id_map = F.broadcast(id_map)
+    # persist the OUTPUT: downstream consumers (stats pass + encode pass,
+    # or the six index tables) each trigger their own action, and an
+    # unpinned plan would rebuild the id-map broadcast (driver collect +
+    # hash relation) per action. Same memory profile as the r5 version,
+    # which pinned the ranged full rows; callers at production scale
+    # materialize this stage to a table anyway.
+    return (
+        transcripts.join(id_map, ["conv_id", "turn_idx"])
         .select("doc_id", *cols)
+        .persist()
     )
 
 
@@ -96,6 +151,10 @@ class CorpusIndex:
     time, so scoring a query is one broadcast join + one groupBy —
     no doc_stats join on the query path (the classic impact-ordered
     index preprocessing, here as plain columns).
+
+    ``postings`` is the ONE big cached table: ``term_freq`` is a
+    projection of it (same rows minus the norm column), so caching both
+    would double the footprint for zero extra pruning.
     """
 
     docs: DataFrame        # doc_id, text (+ passthrough columns)
@@ -107,24 +166,22 @@ class CorpusIndex:
     term_idf: DataFrame    # term, df, idf
 
     def cache(self) -> "CorpusIndex":
-        # term_freq is the shared upstream of every other table — cache it
-        # so tokenize+explode+agg runs once, not once per derived table.
-        self.term_freq.cache()
         self.doc_stats.cache()
-        self.term_stats.cache()
         self.corpus.cache()
         self.postings.cache()
+        self.term_stats.cache()
         self.term_idf.cache()
         return self
 
     def materialize(self) -> "CorpusIndex":
         """Force-build every cached table; upstream-first so each derived
-        table reuses the cached parent instead of recomputing the scan."""
-        self.term_freq.count()
-        self.doc_stats.count()
+        table reuses the cached parent instead of recomputing the scan.
+        term_freq needs no pass of its own — it is a projection of the
+        cached postings."""
         self.corpus.collect()
-        self.term_stats.count()
+        self.doc_stats.count()
         self.postings.count()
+        self.term_stats.count()
         self.term_idf.count()
         return self
 
@@ -143,33 +200,19 @@ def build_index(
 
     N = all docs (token-less docs count toward N and avgdl with len 0),
     matching the oracle definition: avgdl = total_tokens / N.
+
+    Plan shape (one heavy pass): doc_stats/corpus are a narrow
+    projection + 1-row agg of the docs scan (doc_len is a per-row
+    expression — no explode, no shuffle); postings are ONE
+    tokenize→explode→groupBy(term, doc_id) shuffle with the doc_len
+    riding along as first(doc_len), normalized against the broadcast
+    1-row corpus — no doc_stats join. term_stats/term_idf aggregate the
+    (cached) postings by term: vocabulary-sized, map-side partial agg.
     """
     spark: SparkSession = docs.sparkSession
     base = docs.select(F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
-    # explode-then-filter outruns filtering inside the array (the array
-    # higher-order filter materializes a second array per row; exploding
-    # the raw split keeps the empty-token drop inside one codegen stage)
-    tokens = base.select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
-    ).filter(F.col("term") != "")
-    term_freq = tokens.groupBy("term", "doc_id").agg(
-        F.count("*").cast("long").alias("tf")
-    )
-    doc_stats = (
-        base.select("doc_id")
-        .join(
-            term_freq.groupBy("doc_id").agg(F.sum("tf").alias("doc_len")),
-            "doc_id",
-            "left",
-        )
-        .select("doc_id", F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"))
-    )
-    term_stats = term_freq.groupBy("term").agg(
-        F.count("*").cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
-    )
+    doc_stats = base.select("doc_id", _doc_len_col("text").alias("doc_len"))
     corpus = doc_stats.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.coalesce(F.sum("doc_len"), F.lit(0)).cast("long").alias("total_len"),
@@ -178,11 +221,35 @@ def build_index(
         "total_len",
         (F.col("total_len").cast("double") / F.col("n_docs")).alias("avgdl"),
     )
+
+    # explode-then-filter outruns filtering inside the array (the array
+    # higher-order filter materializes a second array per row; exploding
+    # the raw split keeps the empty-token drop inside one codegen stage).
+    # doc_len must NOT ride through the explode as a projected column:
+    # Catalyst collapses the projection past the Generate and re-evaluates
+    # the split/filter/size expression once per TOKEN instead of once per
+    # doc (measured 5-7× slower build) — so postings attach doc_len by
+    # joining the narrow doc_stats table instead, broadcast below the
+    # size cap (no shuffle of the postings), shuffle join above it.
+    tokens = base.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
+    ).filter(F.col("term") != "")
     from pyf_aggregator_spark import B, K1
 
+    # doc_stats is 16 B/row: broadcast-joining it onto the aggregated
+    # postings avoids shuffling the postings by doc_id. The hint is
+    # env-gated (PYFAGG_DOCSTATS_BROADCAST=0) for corpora where the
+    # table outgrows executor memory — the plain equi-join then lets
+    # AQE pick the strategy from runtime sizes.
+    dstats = doc_stats
+    if os.environ.get("PYFAGG_DOCSTATS_BROADCAST", "1") == "1":
+        dstats = F.broadcast(dstats)
     # impact-ready postings: fold length normalization in at build time
     postings = (
-        term_freq.join(doc_stats, "doc_id")
+        tokens.groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .join(dstats, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select(
             "term",
@@ -197,6 +264,11 @@ def build_index(
                 )
             ).alias("norm"),
         )
+    )
+    term_freq = postings.select("term", "doc_id", "tf")
+    term_stats = term_freq.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
     )
     term_idf = (
         term_stats.crossJoin(F.broadcast(corpus))

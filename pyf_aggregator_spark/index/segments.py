@@ -69,6 +69,27 @@ def _max_docs_per_part() -> int:
 def _min_capped_waves() -> int:
     return int(os.environ.get("PYFAGG_MIN_CAPPED_WAVES", "8"))
 
+
+# Doc-range parts per core when the CALLER leaves geometry unpinned
+# (num_partitions=None) and the memory cap does not bind. Finer parts
+# smooth the encode-stage hash assignment, but the r6 A/B measured the
+# query side paying for it dearly: at 4 parts/core every WAND kernel
+# ran 4× the per-part setup (wand_batch_200 9.8 s vs 4.9 s, seq 17.4 s
+# vs 11.8 s) for no build win — so the default stays 1 part/core and
+# the encode balance is addressed by over-provisioning shuffle BUCKETS
+# (3× the part count, below) instead of parts. Env-overridable for
+# experiments.
+def _parts_per_core() -> int:
+    return int(os.environ.get("PYFAGG_PARTS_PER_CORE", "1"))
+
+
+# Upper bound on the encode shuffle's bucket count (3× live parts for a
+# near-collision-free part→task assignment; beyond this, extra buckets
+# are pure scheduling overhead). Env-overridable for very large
+# clusters.
+def _max_encode_buckets() -> int:
+    return int(os.environ.get("PYFAGG_MAX_ENCODE_BUCKETS", "65536"))
+
 SEGMENT_SCHEMA = (
     "part_id int, term string, block_id int, n int, first_doc long, "
     "last_doc long, max_norm double, docs_vb binary, tfs_vb binary, "
@@ -117,13 +138,25 @@ def _norm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     return (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
 
 
+TERMSTAT_BLOCK_ID = -4  # sentinel rows carrying per-partition (term, df, cf)
+
+
 def _encode_partition(
-    avgdl: float, block_size: int, lineage: str
+    avgdl: float, block_size: int, lineage: str,
+    emit_term_stats: bool = False,
 ):
     """applyInPandas kernel: one doc-range partition → segment rows + meta.
 
     Deterministic: input sorted by (term, doc_id); blocks cut at fixed
-    boundaries; checksum = md5 over payload bytes in that order."""
+    boundaries; checksum = md5 over payload bytes in that order.
+
+    ``emit_term_stats``: additionally emit one sentinel row per term
+    (block_id = TERMSTAT_BLOCK_ID, n = local df, first_doc = local cf)
+    so a FULL build derives term_stats from the encode pass it is
+    already running — a vocabulary-sized aggregation of these partials
+    replaces a whole postings-sized tokenize+groupBy pass (guide §2.4:
+    don't compute what another pass already produced). The partials are
+    not part of the checksum (stats tables are overwritten per build)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         part_id = int(pdf["part_id"].iloc[0])
@@ -132,7 +165,18 @@ def _encode_partition(
         terms_arr = pdf["term"].to_numpy()
         ids = pdf["doc_id"].to_numpy(np.uint64)
         tfs = pdf["tf"].to_numpy(np.uint64)
-        dls = pdf["doc_len"].to_numpy(np.uint64)
+        if "doc_len" in pdf.columns:
+            dls = pdf["doc_len"].to_numpy(np.uint64)
+        else:
+            # a doc-range partition holds EVERY posting of its docs, so
+            # doc_len = Σ tf over the doc's rows here — computing it in
+            # the kernel keeps the doc_len expression (a second regex
+            # pass) and the doc_stats join out of the JVM pipeline
+            dls = (
+                pdf.groupby("doc_id", sort=False)["tf"]
+                .transform("sum")
+                .to_numpy(np.uint64)
+            )
         n_tokens = int(tfs.sum())
 
         # term run boundaries + fixed-size block cuts inside each run —
@@ -211,7 +255,31 @@ def _encode_partition(
                 "max_norm", "docs_vb", "tfs_vb", "dls_vb",
             ],
         )
-        return pd.concat([seg, meta_row], ignore_index=True)
+        parts = [seg, meta_row]
+        if emit_term_stats:
+            run_starts = np.flatnonzero(new_term)
+            run_ends = np.empty_like(run_starts)
+            run_ends[:-1] = run_starts[1:]
+            run_ends[-1] = n_rows
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "part_id": part_id,
+                        "term": terms_arr[run_starts],
+                        "block_id": TERMSTAT_BLOCK_ID,
+                        "n": (run_ends - run_starts).astype("int32"),
+                        "first_doc": np.add.reduceat(tfs, run_starts).astype(
+                            "int64"
+                        ),
+                        "last_doc": np.int64(0),
+                        "max_norm": 0.0,
+                        "docs_vb": b"",
+                        "tfs_vb": b"",
+                        "dls_vb": b"",
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
 
     return fn
 
@@ -238,6 +306,7 @@ def build_multifield_segments(
     lengths, N = n_docs (every doc has every field, possibly empty —
     matching the DataFrame-engine/oracle definition)."""
     spark = fields_df.sparkSession
+    from pyf_aggregator_spark.index.builder import _doc_len_col
     from pyf_aggregator_spark.session import ensure_py_files
 
     ensure_py_files(spark)
@@ -245,28 +314,19 @@ def build_multifield_segments(
         len(field_names), ", ".join(f"'{f}', {f}" for f in field_names)
     )
     melted = fields_df.select("doc_id", F.expr(stack_expr))
-    tokens = melted.select(
-        "doc_id", "field",
-        F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
-    ).filter(F.col("term") != "")
-    tf = tokens.groupBy("field", "term", "doc_id").agg(
-        F.count("*").cast("long").alias("tf")
-    ).persist()
-    doc_stats = (
-        melted.select("field", "doc_id")
-        .join(
-            tf.groupBy("field", "doc_id").agg(F.sum("tf").alias("doc_len")),
-            ["field", "doc_id"],
-            "left",
-        )
-        .select(
-            "field", "doc_id",
-            F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"),
-        )
-        .persist()
+    # doc_len per (field, doc) is a per-row EXPRESSION (token count ==
+    # Σ tf) — one narrow pass writes doc_stats, the corpus scalars
+    # aggregate the written table, and the encode pipeline never joins
+    # doc_stats (the kernel re-derives lengths as Σ tf per doc within
+    # its (field, part) group) — same restructure as build_segments
+    # (guide §2.3/§2.4: one payload shuffle, no postings-sized joins).
+    doc_stats = melted.select(
+        "field", "doc_id", _doc_len_col("text").alias("doc_len")
     )
+    doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
     corpus_rows = (
-        doc_stats.groupBy("field")
+        spark.read.parquet(f"{index_dir}/doc_stats")
+        .groupBy("field")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.coalesce(F.sum("doc_len"), F.lit(0)).cast("long").alias("total_len"),
@@ -280,21 +340,6 @@ def build_multifield_segments(
     docs_per_part = min(
         max(1, math.ceil(n_docs / num_partitions)), _max_docs_per_part()
     )
-
-    term_stats = (
-        tf.groupBy("field", "term")
-        .agg(F.count("*").cast("long").alias("df"),
-             F.sum("tf").cast("long").alias("cf"))
-        .select(
-            "field", "term", "df", "cf",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ).alias("idf"),
-        )
-    )
-    term_stats.write.mode("overwrite").parquet(f"{index_dir}/term_stats")
-    doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
     pd.DataFrame(
         [
             (r["field"], int(r["n_docs"]), int(r["total_len"]),
@@ -307,20 +352,54 @@ def build_multifield_segments(
     def mf_encode(pdf: pd.DataFrame) -> pd.DataFrame:
         fld = pdf["field"].iloc[0]
         out = _encode_partition(
-            avgdl_by_field[fld], block_size, f"{lineage}-{fld}"
+            avgdl_by_field[fld], block_size, f"{lineage}-{fld}",
+            emit_term_stats=True,
         )(pdf)
         out.insert(0, "field", fld)
         return out
 
-    postings = tf.join(doc_stats, ["field", "doc_id"]).withColumn(
-        "part_id", (F.col("doc_id") / docs_per_part).cast("int")
+    n_parts = math.ceil(n_docs / docs_per_part)
+    n_buckets = int(
+        min(
+            max(3 * n_parts * len(field_names), num_partitions),
+            _max_encode_buckets(),
+        )
     )
-    encoded = postings.groupBy("field", "part_id").applyInPandas(
+    parted = melted.withColumn(
+        "part_id", (F.col("doc_id") / docs_per_part).cast("int")
+    ).repartition(n_buckets, "field", "part_id")
+    tokens = parted.select(
+        "field", "part_id", "doc_id",
+        F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("field", "part_id", "term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    encoded = tf.groupBy("field", "part_id").applyInPandas(
         mf_encode, "field string, " + SEGMENT_SCHEMA
     ).persist()
     encoded.filter(F.col("block_id") >= 0).write.mode("overwrite").partitionBy(
         "field", "part_id"
     ).parquet(f"{index_dir}/segments")
+    # per-field term_stats from the encode kernel's per-term partials —
+    # a vocabulary-sized aggregation instead of a second postings pass
+    (
+        encoded.filter(F.col("block_id") == TERMSTAT_BLOCK_ID)
+        .groupBy("field", "term")
+        .agg(
+            F.sum("n").cast("long").alias("df"),
+            F.sum("first_doc").cast("long").alias("cf"),
+        )
+        .select(
+            "field", "term", "df", "cf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/term_stats")
+    )
     parts = F.split("payload", r"\|")
     encoded.filter(F.col("block_id") == -1).select(
         "field", "part_id", F.col("term").alias("payload")
@@ -337,8 +416,6 @@ def build_multifield_segments(
         parts.getItem(8).cast("double").alias("avgdl_build"),
     ).write.mode("overwrite").parquet(f"{index_dir}/meta")
     encoded.unpersist()
-    tf.unpersist()
-    doc_stats.unpersist()
     return {"n_docs": int(n_docs), "fields": list(field_names)}
 
 
@@ -370,34 +447,49 @@ def build_segments(
     are skipped; fresh partitions are appended. ``only_parts`` lets
     tests simulate a mid-build failure. ``doc_base``/``part_base``/
     ``write_stats=False`` support delta (incremental) builds — see
-    index/incremental.py. Returns summary counters."""
+    index/incremental.py. Returns summary counters.
+
+    Plan shape (r6, guide §2.3/§2.4): the heavy payload crosses the bus
+    ONCE. doc_stats/corpus come from a narrow doc_len EXPRESSION over
+    the docs scan (token count == sum(tf); no explode, no shuffle);
+    the encode pipeline repartitions the raw (doc_id, text) rows by
+    part_id — a text-sized exchange, several times smaller than the
+    exploded postings — and tokenize → tf-aggregate → varbyte-encode
+    all run partition-local behind it (HashPartitioning(part_id)
+    satisfies both the groupBy(part_id, term, doc_id) aggregation and
+    the applyInPandas clustering, so Catalyst inserts no further
+    exchange). A FULL build also derives term_stats from per-term
+    partials the encode kernel emits (vocabulary-sized aggregation);
+    only the rare resume/partial path recomputes them with the old
+    postings-sized pass, because partials then cover only the rebuilt
+    parts."""
     spark = docs.sparkSession
+    from pyf_aggregator_spark.index.builder import _doc_len_col
     from pyf_aggregator_spark.session import ensure_py_files
 
     ensure_py_files(spark)  # the encode kernel imports this package on workers
+    auto_parts = num_partitions is None
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
 
     base = docs.select("doc_id", "text")
-    tokens = base.select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
-    ).filter(F.col("term") != "")
-    # tf feeds four downstream passes (corpus agg, term_stats, doc_stats,
-    # posting encode) — cache it so tokenize+explode+agg runs once
-    tf = tokens.groupBy("term", "doc_id").agg(
-        F.count("*").cast("long").alias("tf")
-    ).persist()
-    doc_stats = (
-        base.select("doc_id")
-        .join(tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len")), "doc_id", "left")
-        .select("doc_id", F.coalesce("doc_len", F.lit(0)).cast("long").alias("doc_len"))
-    ).persist()
-
-    n_docs, total_len, max_doc = doc_stats.agg(
+    doc_stats = base.select(
+        "doc_id", _doc_len_col("text").alias("doc_len")
+    )
+    if write_stats:
+        # write first, then aggregate the (tiny) written table — the
+        # corpus scalars cost a parquet re-read instead of a second
+        # tokenize pass over the text
+        doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
+        stats_src = spark.read.parquet(f"{index_dir}/doc_stats")
+    else:
+        stats_src = doc_stats
+    n_docs, total_len, max_doc = stats_src.agg(
         F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0)), F.max("doc_id")
     ).collect()[0]
     avgdl = avgdl_override if avgdl_override is not None else total_len / n_docs
+    if write_stats:
+        write_corpus_stats(index_dir, n_docs, total_len, avgdl)
     if docs_per_part is None:
         # partition by id RANGE. Part count covers the actual id span,
         # not just n_docs: ids are dense 0-based in production
@@ -406,7 +498,16 @@ def build_segments(
         # too-small part list (pre-r4 latent bug). Ranges are capped at
         # _max_docs_per_part so encode-task memory is bounded by DATA
         # geometry, not cluster size (see the constant's note).
-        docs_per_part = max(1, math.ceil(n_docs / num_partitions))
+        # When the caller left the geometry to us (auto_parts), cut
+        # _parts_per_core() parts per core instead of one: P part_ids
+        # hash into the shuffle's buckets, so at 1 part/core collisions
+        # leave ~1/e of the cores idle while others encode 3-4 parts
+        # (guide §2.5, synthetic-key skew) — finer parts smooth the
+        # assignment and only ever lower per-task memory. Explicit
+        # num_partitions keeps the exact requested geometry (tests pin
+        # checksums/part counts on it).
+        mult = _parts_per_core() if auto_parts else 1
+        docs_per_part = max(1, math.ceil(n_docs / (num_partitions * mult)))
         cap = _max_docs_per_part()
         if docs_per_part > cap:
             # cap binds → big corpus relative to the cluster. Also
@@ -421,22 +522,6 @@ def build_segments(
             docs_per_part = max(1, math.ceil(span / target_tasks))
     n_parts = math.ceil((max_doc - doc_base + 1) / docs_per_part)
 
-    if write_stats:
-        # stats tables (cheap, deterministic → overwrite every build)
-        term_stats = tf.groupBy("term").agg(
-            F.count("*").cast("long").alias("df"),
-            F.sum("tf").cast("long").alias("cf"),
-        )
-        term_stats = term_stats.select(
-            "term", "df", "cf",
-            F.log(
-                F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ).alias("idf"),
-        )
-        term_stats.write.mode("overwrite").parquet(f"{index_dir}/term_stats")
-        doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
-        write_corpus_stats(index_dir, n_docs, total_len, avgdl)
-
     # ---- resume: skip partitions whose checkpoint row already exists
     done: set[int] = set()
     committed: set[int] = set()  # parts with a meta row under ANY lineage
@@ -449,6 +534,32 @@ def build_segments(
     todo = [p for p in part_ids if p not in done]
     if only_parts is not None:
         todo = [p for p in todo if p in only_parts]
+    # a FULL build's term_stats come from the encode kernel's per-term
+    # partials; a resume/partial build's partials would only cover the
+    # rebuilt parts, so that path recomputes over the whole corpus
+    full_build = write_stats and set(todo) == set(part_ids)
+    if write_stats and not full_build:
+        tokens_all = base.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
+        ).filter(F.col("term") != "")
+        term_stats = (
+            tokens_all.groupBy("term", "doc_id")
+            .agg(F.count("*").cast("long").alias("tf"))
+            .groupBy("term")
+            .agg(
+                F.count("*").cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("cf"),
+            )
+            .select(
+                "term", "df", "cf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ).alias("idf"),
+            )
+        )
+        term_stats.write.mode("overwrite").parquet(f"{index_dir}/term_stats")
     # reconcile: the commit point is the meta row (written AFTER segment
     # rows). A crash between the two writes leaves orphaned segment
     # blocks for partitions with no meta row; appending again would
@@ -460,22 +571,42 @@ def build_segments(
         if p not in committed and os.path.exists(orphan):
             _shutil.rmtree(orphan, ignore_errors=True)
     if not todo:
-        tf.unpersist()
-        doc_stats.unpersist()
         return {"n_parts": n_parts, "built": 0, "skipped": len(done)}
 
-    postings = (
-        tf.join(doc_stats, "doc_id")
-        .withColumn(
+    # ---- the ONE payload exchange: raw (doc_id, text) rows hashed by
+    # part_id. Bucket count ≈ 3× the live part count so the hash
+    # assignment stays near-collision-free (empty buckets cost a no-op
+    # task; a collided bucket costs a whole extra part's tokenize+
+    # encode on one core — guide §2.5).
+    n_buckets = int(
+        min(max(3 * len(todo), num_partitions), _max_encode_buckets())
+    )
+    parted = (
+        base.withColumn(
             "part_id",
             (F.lit(part_base) + (F.col("doc_id") - doc_base) / docs_per_part).cast(
                 "int"
             ),
         )
         .filter(F.col("part_id").isin(todo))
+        .repartition(n_buckets, "part_id")
     )
-    encoded = postings.groupBy("part_id").applyInPandas(
-        _encode_partition(avgdl, block_size, lineage), SEGMENT_SCHEMA
+    tokens = parted.select(
+        "part_id",
+        "doc_id",
+        F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
+    ).filter(F.col("term") != "")
+    # no doc_len column here: the encode kernel derives it as Σ tf per
+    # doc (every posting of a doc lives in its doc-range partition), so
+    # the pipeline neither re-tokenizes per token row nor joins doc_stats
+    tf = tokens.groupBy("part_id", "term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf"),
+    )
+    encoded = tf.groupBy("part_id").applyInPandas(
+        _encode_partition(
+            avgdl, block_size, lineage, emit_term_stats=full_build
+        ),
+        SEGMENT_SCHEMA,
     )
     encoded = encoded.cache()
     seg_rows = encoded.filter(F.col("block_id") >= 0)
@@ -486,6 +617,24 @@ def build_segments(
     seg_rows.write.mode("append").partitionBy("part_id").parquet(
         f"{index_dir}/segments"
     )
+    if full_build:
+        (
+            encoded.filter(F.col("block_id") == TERMSTAT_BLOCK_ID)
+            .groupBy("term")
+            .agg(
+                F.sum("n").cast("long").alias("df"),
+                F.sum("first_doc").cast("long").alias("cf"),
+            )
+            .select(
+                "term", "df", "cf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ).alias("idf"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/term_stats")
+        )
     parts = F.split("payload", r"\|")
     meta_rows.select(
         "part_id",
@@ -501,6 +650,4 @@ def build_segments(
     ).write.mode("append").parquet(meta_path)
     built = len(todo)
     encoded.unpersist()
-    tf.unpersist()
-    doc_stats.unpersist()
     return {"n_parts": n_parts, "built": built, "skipped": len(done)}

@@ -188,13 +188,73 @@ def txt_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     r4 to free a registry-window slot, same precedent as j3/j4 and
     c8_c11): token counting three ways, the quality heuristic,
     marker-vote language ID and md5/winnowing fingerprints are all
-    narrow per-doc column algebra over the same documents scan — one
-    projection each, one equi-join, zero wide shuffles."""
-    return (
-        txt_token_quality(spark, sf_dir)
-        .join(txt_lang_fingerprint(spark, sf_dir), "doc_id")
-        .orderBy("doc_id")
+    narrow per-doc column algebra — computed in ONE projection over ONE
+    documents scan (r6: the former two-subquery shape re-scanned the
+    table and shuffled it through an equi-join just to put the columns
+    side by side; per-doc expressions over the same rows need neither —
+    guide §2.4). Column expressions and values are identical to the
+    txt_token_quality / txt_lang_fingerprint building blocks, which
+    remain the unit-testable pieces."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
+    n_punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+    n_chars = F.length("text").cast("double")
+    stop_ratio = n_stop / F.greatest(n_tok.cast("double"), F.lit(1.0))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
+    quality = (
+        F.least(n_tok / 64.0, F.lit(1.0))
+        * (1.0 - F.least(punct_ratio, F.lit(1.0)))
+        * (0.5 + 0.5 * F.least(stop_ratio * 5.0, F.lit(1.0)))
     )
+
+    def _marker_hits(markers: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    hits = {lang: _marker_hits(markers) for lang, markers in _LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(hits["en"] >= F.greatest(hits["es"], hits["fr"], hits["de"]), "en")
+        .when(hits["es"] >= F.greatest(hits["fr"], hits["de"]), "es")
+        .when(hits["fr"] >= hits["de"], "fr")
+        .otherwise("de")
+    )
+    norm = F.lower(F.trim("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.try_element_at(toks, i),
+            F.try_element_at(toks, i + 1),
+            F.try_element_at(toks, i + 2),
+            F.try_element_at(toks, i + 3),
+            F.try_element_at(toks, i + 4),
+        ),
+    )
+    shingle_min = F.when(
+        F.size(toks) >= 5,
+        F.array_min(F.transform(shingles, lambda s: F.md5(s.cast("binary")))),
+    ).otherwise(F.lit(None))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        ).alias("n_ws"),
+        F.regexp_count("text", F.lit(BPE_RE)).alias("n_bpe"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(quality, 4).alias("quality"),
+        "lang",
+        pred.alias("pred_lang"),
+        F.md5(norm.cast("binary")).alias("fp_md5"),
+        F.conv(F.substring(F.md5(norm.cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("fp64"),
+        shingle_min.alias("shingle_min"),
+    ).orderBy("doc_id")
 
 
 

@@ -130,36 +130,44 @@ def bm25_topk_batch(
     """Batch execution: queries(query_id, query, mode, k) → per-query top-k.
 
     All queries run in ONE Spark job: explode query terms, join against
-    term_freq once (term is the join key → a single shuffle amortized
+    the postings once (term is the join key → a single shuffle amortized
     over the whole query set), window top-k per query. This is the shape
     that gives queries/sec at cluster scale — per-query jobs would pay
     scheduling latency per query.
+
+    The two match-set-sized exchanges (groupBy partial→final, window)
+    carry ONLY (query_id, doc_id, score partials): per-query metadata
+    (mode, k, n_terms) stays in a tiny broadcast joined back AFTER the
+    aggregation — shuffling a constant-per-query string with every
+    matched posting roughly doubled the exchange bytes (guide §2.3).
+    n_terms is a per-row expression over the query string (size of the
+    distinct token array), not a second aggregation of the exploded
+    terms.
     """
     from pyspark.sql import Window
 
-    qt = queries.select(
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower("query"), r"[\s.\-_@/]+"), lambda t: t != F.lit("")
+        )
+    )
+    qt = queries.select("query_id", F.explode(toks).alias("term"))
+    qstats = queries.select(
         "query_id",
         "mode",
         F.coalesce("k", F.lit(default_k)).alias("k"),
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.split(F.lower("query"), r"[\s.\-_@/]+"), lambda t: t != F.lit("")
-                )
-            )
-        ).alias("term"),
+        F.size(toks).alias("n_terms"),
     )
-    n_terms = qt.groupBy("query_id").agg(F.count("*").alias("n_terms"))
     scored = (
         F.broadcast(qt.join(index.term_idf, "term"))
         .join(index.postings, "term")
         .select(
-            "query_id", "mode", "k", "doc_id",
+            "query_id", "doc_id",
             (F.col("idf") * F.col("norm")).alias("contrib"),
         )
-        .groupBy("query_id", "mode", "k", "doc_id")
+        .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib").alias("raw_score"), F.count("*").alias("nmatch"))
-        .join(F.broadcast(n_terms), "query_id")
+        .join(F.broadcast(qstats), "query_id")
         .filter((F.col("mode") != "and") | (F.col("nmatch") == F.col("n_terms")))
         .select(
             "query_id", "k", "doc_id",
