@@ -19,6 +19,7 @@ the DataFrame engine, so results stay rank-identical to the oracle.
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pandas as pd
@@ -116,6 +117,96 @@ class _PartitionBlocks:
 
 TOMBSTONE_BLOCK_ID = -2
 ALLOWED_BLOCK_ID = -3
+
+
+def _termdict_max() -> int:
+    """Vocabulary sizes up to this load into an in-driver term→idf
+    dictionary (the in-RAM dictionary component every inverted index
+    keeps — Lucene's FST, Typesense's art tree); bigger vocabularies
+    fall back to a per-query pushed-down scan. ~60 B/term: the default
+    2M caps the dictionary at ~120 MB of driver memory."""
+    return int(os.environ.get("PYFAGG_TERMDICT_MAX", "2000000"))
+
+
+def _term_stats_version(idx: dict) -> float | None:
+    """Freshness token for the dictionary: the term_stats directory
+    mtime changes on every overwrite/commit swap (incremental.py swaps
+    whole staged dirs into place), so a mutated index invalidates the
+    cached dictionary on the next lookup."""
+    d = idx.get("dir")
+    if not d:
+        return None
+    try:
+        return os.path.getmtime(os.path.join(d, "term_stats"))
+    except OSError:
+        return None
+
+
+def _term_dict(idx: dict):
+    """term→idf (single-field) or (field, term)→idf (multifield)
+    dictionary for this index, loaded ONCE per term_stats version and
+    cached on the idx handle. Returns None when the vocabulary exceeds
+    _termdict_max() — callers then use the pushed-down per-query scan.
+
+    Why: every kernel query paid a whole Spark job (plan + schedule +
+    parquet scan) just to fetch ≤|q| idf scalars before the real kernel
+    job — half the per-query latency on the sequential path. The
+    dictionary is vocabulary-sized (MB where postings are GB/TB), which
+    is exactly the piece real engines pin in RAM."""
+    ver = _term_stats_version(idx)
+    cached = idx.get("_term_dict")
+    if cached is not None and cached[0] == ver:
+        return cached[1]
+    if idx.get("_term_dict_too_big") == ver:
+        return None
+    n = idx["term_stats"].count()
+    if n > _termdict_max():
+        idx["_term_dict_too_big"] = ver
+        return None
+    if "field" in idx["term_stats"].columns:
+        rows = idx["term_stats"].select("field", "term", "idf").collect()
+        d = {(r["field"], r["term"]): r["idf"] for r in rows}
+    else:
+        rows = idx["term_stats"].select("term", "idf").collect()
+        d = {r["term"]: r["idf"] for r in rows}
+    idx["_term_dict"] = (ver, d)
+    return d
+
+
+def _idf_rows(idx: dict, terms: list[str]) -> list[tuple[str, float]]:
+    """(term, idf) for the terms present in the index — dictionary hit
+    when loaded, pushed-down term_stats scan otherwise."""
+    d = _term_dict(idx)
+    if d is not None:
+        return [(t, d[t]) for t in terms if t in d]
+    rows = (
+        idx["term_stats"]
+        .filter(F.col("term").isin(terms))
+        .select("term", "idf")
+        .collect()
+    )
+    return [(r["term"], r["idf"]) for r in rows]
+
+
+def _mf_idf_rows(
+    idx: dict, terms: list[str], fields: list[str]
+) -> list[tuple[str, str, float]]:
+    """Multifield twin of _idf_rows: (field, term, idf) rows."""
+    d = _term_dict(idx)
+    if d is not None:
+        return [
+            (f, t, d[(f, t)])
+            for f in fields
+            for t in terms
+            if (f, t) in d
+        ]
+    rows = (
+        idx["term_stats"]
+        .filter(F.col("term").isin(terms) & F.col("field").isin(fields))
+        .select("field", "term", "idf")
+        .collect()
+    )
+    return [(r["field"], r["term"], r["idf"]) for r in rows]
 
 
 def _split_tombstones(
@@ -711,10 +802,7 @@ def _wand_local(
     terms = sorted(set(tokenize_py(query)))
     if not terms:
         return None
-    idf_rows = (
-        idx["term_stats"].filter(F.col("term").isin(terms)).select("term", "idf").collect()
-    )
-    idf_map = {r["term"]: r["idf"] for r in idf_rows}
+    idf_map = dict(_idf_rows(idx, terms))
     if not idf_map or (mode == "and" and len(idf_map) < len(terms)):
         return None
 
@@ -793,13 +881,7 @@ def _slots_spec(
     all_terms = sorted({t for g in slot_terms for t in g})
     if not all_terms:
         return None
-    idf_rows = (
-        idx["term_stats"]
-        .filter(F.col("term").isin(all_terms))
-        .select("term", "idf")
-        .collect()
-    )
-    present = {r["term"]: r["idf"] for r in idf_rows}
+    present = dict(_idf_rows(idx, all_terms))
     # a term may belong to SEVERAL slots (overlapping expansion sets):
     # membership is a tuple, and a doc matching the term satisfies
     # every slot that contains it
@@ -924,10 +1006,7 @@ def wand_match_ids(
         terms = sorted(set(tokenize_py(query)))
         if not terms:
             return spark.createDataFrame([], "doc_id long")
-        idf_rows = (
-            idx["term_stats"].filter(F.col("term").isin(terms)).select("term", "idf").collect()
-        )
-        idf_map = {r["term"]: r["idf"] for r in idf_rows}
+        idf_map = dict(_idf_rows(idx, terms))
         if not idf_map or (mode == "and" and len(idf_map) < len(terms)):
             return spark.createDataFrame([], "doc_id long")
         groups = None
@@ -986,13 +1065,7 @@ def wand_score_matches(
         terms = sorted(set(tokenize_py(query)))
         if not terms:
             return spark.createDataFrame([], "doc_id long, score double")
-        idf_rows = (
-            idx["term_stats"]
-            .filter(F.col("term").isin(terms))
-            .select("term", "idf")
-            .collect()
-        )
-        idf_map = {r["term"]: r["idf"] for r in idf_rows}
+        idf_map = dict(_idf_rows(idx, terms))
         if not idf_map or (mode == "and" and len(idf_map) < len(terms)):
             return spark.createDataFrame([], "doc_id long, score double")
         slots = None
@@ -1084,12 +1157,7 @@ def _mf_spec(
     if not raw_terms:
         return None
     fields = sorted(weights)
-    stats = (
-        idx["term_stats"]
-        .filter(F.col("term").isin(raw_terms) & F.col("field").isin(fields))
-        .select("field", "term", "idf")
-        .collect()
-    )
+    stats = _mf_idf_rows(idx, raw_terms, fields)
     if not stats:
         return None
     # multi-membership: a term shared by several token groups (e.g. a
@@ -1103,16 +1171,16 @@ def _mf_spec(
     field_idx = {f: i for i, f in enumerate(fields)}
     idf_map, avgdl_map, slots, groups = {}, {}, {}, {}
     live_terms = set()
-    for r in stats:
-        key = r["field"] + FIELD_SEP + r["term"]
-        idf_map[key] = r["idf"] * weights[r["field"]]
-        avgdl_map[key] = idx["avgdl_by_field"][r["field"]]
-        gis = term_groups[r["term"]]
+    for fld, term, idf in stats:
+        key = fld + FIELD_SEP + term
+        idf_map[key] = idf * weights[fld]
+        avgdl_map[key] = idx["avgdl_by_field"][fld]
+        gis = term_groups[term]
         groups[key] = tuple(gis)
         slots[key] = tuple(
-            field_idx[r["field"]] * n_groups + gi for gi in gis
+            field_idx[fld] * n_groups + gi for gi in gis
         )
-        live_terms.add(r["term"])
+        live_terms.add(term)
     if mode == "and" and len(
         {g for t in live_terms for g in term_groups[t]}
     ) < n_groups:
@@ -1389,13 +1457,7 @@ def wand_topk_batch(
     all_terms = sorted(
         {t for q in queries for t in set(tokenize_py(q["query"]))}
     )
-    idf_rows = (
-        idx["term_stats"]
-        .filter(F.col("term").isin(all_terms))
-        .select("term", "idf")
-        .collect()
-    )
-    idf_map = {r["term"]: r["idf"] for r in idf_rows}
+    idf_map = dict(_idf_rows(idx, all_terms))
     qspec = []
     allow_parts = []
     for q in queries:
