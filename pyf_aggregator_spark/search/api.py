@@ -868,7 +868,10 @@ def _search_one(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         # the drop cascade applies under a sort_by override too
         # (sort_by changes the ORDER, not the match semantics)
         c_found = _drop_cascade_rewrite()
-        match = _ranked_match_set()
+        # persisted: the page collect, the found count and the facet
+        # aggregation are separate actions over the same match set — an
+        # unpinned frame re-ran the match-ids kernel for each (r6)
+        match = _ranked_match_set().persist()
         out = docs.join(match, "doc_id").orderBy(*_sort_cols(sort_by, docs))
         # offset paging + count-over-limit (_collect_page): the driver
         # receives exactly the page; when the cascade ran, its exact
@@ -889,6 +892,7 @@ def _search_one(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             ),
             "request_params": request_params,
         }
+        match.unpersist()
         if phrase_verified is not None:
             phrase_verified.unpersist()
         return resp
@@ -907,34 +911,46 @@ def _search_one(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         # terms (grouped found comes from the group-window totals, so
         # the cascade's count is not needed here)
         _drop_cascade_rewrite()
-        if phrase_verified is not None:
-            from pyf_aggregator_spark.operators.fulltext_extra import (
-                grouped_from_scored,
-            )
+        from pyf_aggregator_spark.operators.fulltext_extra import (
+            grouped_from_scored,
+        )
 
+        # the grouped window consumes the full scored match set; when
+        # facet_by rides along, PERSIST that set so the facet block
+        # below reads it instead of re-running a match-ids kernel pass
+        # (r5 VERDICT "what's wrong" #1 — the facade's one duplicated
+        # kernel pass). Same reuse discipline as the phrase path.
+        scored_set = None
+        want_facets = bool(params.get("facet_by"))
+        if phrase_verified is not None:
             g = grouped_from_scored(
                 phrase_verified, docs, group_by, limit, with_counts=True
             )
         elif mf is not None:
-            from pyf_aggregator_spark.operators.fulltext_extra import (
-                grouped_from_scored,
-            )
             from pyf_aggregator_spark.search.wand import (
                 wand_score_matches_multifield,
             )
 
-            scored = wand_score_matches_multifield(
+            scored_set = wand_score_matches_multifield(
                 mf, weights, query, allowed=allowed,
                 mode=mode, slot_terms=slot_terms,
             )
+            if want_facets:
+                scored_set = scored_set.persist()
             g = grouped_from_scored(
-                scored, docs, group_by, limit, with_counts=True
+                scored_set, docs, group_by, limit, with_counts=True
             )
         else:
-            g = grouped_search(
-                spark, sf_dir, query, group_by, group_limit=limit,
-                allowed=allowed, mode=mode, slot_terms=slot_terms,
-                with_counts=True,
+            from pyf_aggregator_spark.search.wand import wand_score_matches
+
+            scored_set = wand_score_matches(
+                idx, query, mode=mode, allowed=allowed,
+                slot_terms=slot_terms,
+            )
+            if want_facets:
+                scored_set = scored_set.persist()
+            g = grouped_from_scored(
+                scored_set, docs, group_by, limit, with_counts=True
             )
         # groups × group_limit rows — persisted so the kernel pass and
         # the group window run ONCE and the three small jobs below
@@ -956,17 +972,27 @@ def _search_one(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             page_first, page_rows, totals, page, per_page, ranked=True,
         )
         # Typesense returns facet_counts alongside grouped_hits — over
-        # the MATCH SET (one extra match-ids kernel pass, same cost
-        # shape as the ungrouped facet block), not the page of groups
+        # the MATCH SET. r6: the set is the PERSISTED scored frame the
+        # group window just consumed (or the phrase-verified set) — no
+        # second kernel pass.
         resp["facet_counts"] = (
             _facets(
                 params.get("facet_by"),
-                docs.join(_ranked_match_set(), "doc_id"),
+                docs.join(
+                    (
+                        phrase_verified
+                        if phrase_verified is not None
+                        else scored_set
+                    ).select("doc_id"),
+                    "doc_id",
+                ),
                 params.get("facet_query"), max_facet_values,
             )
-            if params.get("facet_by") else []
+            if want_facets else []
         )
         resp["request_params"] = request_params
+        if scored_set is not None and want_facets:
+            scored_set.unpersist()
         if phrase_verified is not None:
             phrase_verified.unpersist()
         return resp
@@ -976,6 +1002,18 @@ def _search_one(spark: SparkSession, sf_dir: str, params: dict) -> dict:
     # size (user-provided, small) — still a bounded kernel top-k
     n_curated = len(hidden_ids | set(pinned.values()))
     k = page * per_page + n_curated
+    # r6: a ranked query WITH facet_by used to run the top-k kernel pass
+    # AND a second match-ids pass for the facet set (r5 VERDICT "what's
+    # wrong" #1). Now it runs ONE score-matches pass, persists the
+    # scored match set, and derives top-k, found, facets and the
+    # curation probe from it — the same reuse the phrase path pioneered.
+    # The drop_tokens cascade keeps its own consuming passes (its found
+    # counts drive the rewrite), so it stays on the two-pass shape.
+    _drop_case = (
+        phrase_verified is None and slot_terms is None
+        and drop_threshold and mode == "and"
+    )
+    ranked_scored = None
     if phrase_verified is not None:
         # top-k + exact found from the verified set (two bounded
         # actions; the ordering/tie-break contract is shared)
@@ -988,6 +1026,32 @@ def _search_one(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             {"doc_id": r["doc_id"], "score": r["score"]} for r in topk
         ]
         found = phrase_verified.count()
+    elif params.get("facet_by") and not _drop_case:
+        if mf is not None:
+            from pyf_aggregator_spark.search.wand import (
+                wand_score_matches_multifield,
+            )
+
+            ranked_scored = wand_score_matches_multifield(
+                mf, weights, query, allowed=allowed,
+                mode=mode, slot_terms=slot_terms,
+            ).persist()
+        else:
+            from pyf_aggregator_spark.search.wand import wand_score_matches
+
+            ranked_scored = wand_score_matches(
+                idx, query, mode=mode, allowed=allowed,
+                slot_terms=slot_terms,
+            ).persist()
+        topk = (
+            ranked_scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        all_rows = [
+            {"doc_id": r["doc_id"], "score": r["score"]} for r in topk
+        ]
+        found = ranked_scored.count()
     elif mf is not None:
         from pyf_aggregator_spark.search.fallback import (
             drop_tokens_mf_with_found,
@@ -1057,6 +1121,11 @@ def _search_one(spark: SparkSession, sf_dir: str, params: dict) -> dict:
             # a pinned doc containing the tokens out of order is a
             # NON-matching pin (bounded isin over ≤ |curated| ids)
             m = phrase_verified.filter(F.col("doc_id").isin(curated_ids))
+        elif ranked_scored is not None:
+            # the persisted match set is already filter- and
+            # tombstone-exact, so membership+score of the curated ids is
+            # a bounded isin over it — no extra kernel pass
+            m = ranked_scored.filter(F.col("doc_id").isin(curated_ids))
         elif mf is not None:
             from pyf_aggregator_spark.search.wand import (
                 wand_score_matches_multifield,
@@ -1117,13 +1186,22 @@ def _search_one(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         hits.append(hit)
     facet_counts = []
     if params.get("facet_by"):
-        # hit-set facets need the match IDS, not just the count: one
-        # extra kernel pass emitting the distributed (filtered) match
-        # set — still segment-only, aggregated map-side, never collected
+        # hit-set facets read the PERSISTED scored match set when the
+        # ranked branch produced one (the common case); only the
+        # drop-cascade rewrite still derives a fresh match set, because
+        # its surviving-terms query differs from the one the consuming
+        # passes ran
+        facet_src = (
+            ranked_scored.select("doc_id")
+            if ranked_scored is not None
+            else _ranked_match_set()
+        )
         facet_counts = _facets(
-            params.get("facet_by"), docs.join(_ranked_match_set(), "doc_id"),
+            params.get("facet_by"), docs.join(facet_src, "doc_id"),
             params.get("facet_query"), max_facet_values,
         )
+    if ranked_scored is not None:
+        ranked_scored.unpersist()
     if phrase_verified is not None:
         phrase_verified.unpersist()
     return {
