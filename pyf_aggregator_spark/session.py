@@ -66,7 +66,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        # local[N] runs every task inside the driver JVM: at 32 cores the
+        # concurrent task buffers + Arrow JNI critical sections left 12g
+        # marginal (observed GCLocker allocation-retry failures under a
+        # full bench). 16g restores headroom; SPARK_DRIVER_MEMORY still
+        # overrides for smaller hosts, and cluster deployments size
+        # executors via spark-submit as before.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
