@@ -9,7 +9,7 @@ reproducible.
 
 Usage:
     python bench_extra.py [--sf-dir DIR] [--turns N] [--phases a,b,c]
-Phases: build_parts, cache_parts, batch, wand_lat, headline
+Phases: build_parts, cache_parts, batch, wand_lat, headline, facade
 """
 
 from __future__ import annotations
@@ -168,6 +168,31 @@ def main() -> None:
                 timed(
                     spark, f"{name}[{rep}]",
                     lambda: fn(spark, args.sf_dir).collect(), out,
+                )
+
+    if "facade" in phases:
+        # the reference-shaped unified endpoint (search/api.py) — not a
+        # bench.py phase (bench.py is frozen); min-of-3 per param shape
+        from pyf_aggregator_spark.search.api import search as facade_search
+
+        for fname, fparams in [
+            ("facade_ranked", {"q": "spark vector", "per_page": 10,
+                               "num_typos": 0}),
+            ("facade_ranked_facets", {"q": "spark vector",
+                                      "facet_by": "lang", "per_page": 10,
+                                      "num_typos": 0}),
+            ("facade_grouped_facets", {"q": "spark vector",
+                                       "group_by": "source",
+                                       "facet_by": "lang",
+                                       "group_limit": 2, "num_typos": 0}),
+            ("facade_defaults_on", {"q": "spark vecto", "prefix": True,
+                                    "per_page": 10}),
+        ]:
+            for rep in range(3):
+                timed(
+                    spark, f"{fname}[{rep}]",
+                    lambda p=fparams: facade_search(spark, args.sf_dir, p),
+                    out,
                 )
 
     shutil.rmtree(seg_dir, ignore_errors=True)

@@ -167,7 +167,13 @@ def test_batch_allow_set_rides_shuffle_not_broadcast(spark, tmp_path):
     docs = assign_doc_ids(transcripts_df(spark, 400), num_partitions=2)
     build_segments(docs, d, num_partitions=2)
     idx = load_index(spark, d)
-    allowed = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    # localCheckpoint truncates the assign_doc_ids lineage (its id-map
+    # attach is itself an explicit broadcast, r6) so the census below
+    # counts the WAND plan's broadcasts, not the fixture's
+    allowed = (
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+        .localCheckpoint()
+    )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -179,18 +185,14 @@ def test_batch_allow_set_rides_shuffle_not_broadcast(spark, tmp_path):
         plan = plan_of(df)
         # with auto-broadcast off, any BroadcastExchange left is an
         # EXPLICIT hint — the only ones in this plan are the tiny P-row
-        # meta ranges (sentinel routing), the per-query k table, and the
-        # doc-id-map attach inside THIS TEST's allowed frame (the r6
-        # assign_doc_ids broadcasts its id map below the size cap so the
-        # text payload is never shuffled); the kernel input (blocks +
-        # sentinels) must reach applyInPandas through the
-        # partition-keyed exchange
+        # meta ranges (sentinel routing) and the per-query k table; the
+        # kernel input (blocks + sentinels) must reach applyInPandas
+        # through the partition-keyed exchange
         assert "FlatMapGroupsInPandas" in plan
         # formatted explain lists each node twice (tree + detail
-        # section): 4 distinct tiny broadcasts = sentinel meta-ranges
-        # (tombstone + allow routing), the per-query k table, and the
-        # allowed frame's id-map attach
-        assert plan.count("BroadcastExchange") <= 8, plan
+        # section): 3 distinct tiny broadcasts = sentinel meta-ranges
+        # (tombstone + allow routing) and the per-query k table
+        assert plan.count("BroadcastExchange") <= 6, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
