@@ -61,6 +61,14 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # shuffle/spill codec stays lz4 (the default), decided by
+        # measurement, not by default: zstd won the narrow-row batch
+        # shuffle (~8% on a 52M-row workload, interleaved A/B) but COST
+        # ~45% on every WAND phase — the kernel input shuffle ships
+        # varbyte posting blocks, high-entropy binary where zstd is pure
+        # CPU overhead — netting the full bench 10% slower. Revisit per
+        # deployment if the workload mix is batch-dominated
+        # (spark.io.compression.codec via extra_conf/submit).
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
