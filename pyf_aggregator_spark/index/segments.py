@@ -359,23 +359,44 @@ def build_multifield_segments(
         return out
 
     n_parts = math.ceil(n_docs / docs_per_part)
-    n_buckets = int(
-        min(
-            max(3 * n_parts * len(field_names), num_partitions),
-            _max_encode_buckets(),
-        )
+    # exact (field, part)→task placement, same scheme as build_segments:
+    # the driver knows every live (field, part) pair, so one salted _kb
+    # per pair places each encode group alone in its own task — no
+    # collision stragglers, no empty buckets (guide §2.5)
+    from pyf_aggregator_spark.index.placement import (
+        SALT_MAP_MAX_GROUPS,
+        perfect_salts,
+        salt_col,
     )
-    parted = melted.withColumn(
+
+    pairs = [f"{f}#{p}" for f in field_names for p in range(n_parts)]
+    keyed = melted.withColumn(
         "part_id", (F.col("doc_id") / docs_per_part).cast("int")
-    ).repartition(n_buckets, "field", "part_id")
+    )
+    pair_col = F.concat_ws("#", F.col("field"), F.col("part_id"))
+    if len(pairs) <= SALT_MAP_MAX_GROUPS:
+        salts = perfect_salts(pairs)
+        parted = keyed.withColumn(
+            "_kb", salt_col(salts, pair_col).cast("int")
+        ).repartition(len(salts), "_kb")
+    else:
+        n_buckets = int(
+            min(
+                max(3 * n_parts * len(field_names), num_partitions),
+                _max_encode_buckets(),
+            )
+        )
+        parted = keyed.withColumn(
+            "_kb", F.col("part_id").cast("int")
+        ).repartition(n_buckets, "_kb")
     tokens = parted.select(
-        "field", "part_id", "doc_id",
+        "_kb", "field", "part_id", "doc_id",
         F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
     ).filter(F.col("term") != "")
-    tf = tokens.groupBy("field", "part_id", "term", "doc_id").agg(
+    tf = tokens.groupBy("_kb", "field", "part_id", "term", "doc_id").agg(
         F.count("*").cast("long").alias("tf")
     )
-    encoded = tf.groupBy("field", "part_id").applyInPandas(
+    encoded = tf.groupBy("_kb", "field", "part_id").applyInPandas(
         mf_encode, "field string, " + SEGMENT_SCHEMA
     ).persist()
     encoded.filter(F.col("block_id") >= 0).write.mode("overwrite").partitionBy(
@@ -499,13 +520,13 @@ def build_segments(
         # _max_docs_per_part so encode-task memory is bounded by DATA
         # geometry, not cluster size (see the constant's note).
         # When the caller left the geometry to us (auto_parts), cut
-        # _parts_per_core() parts per core instead of one: P part_ids
-        # hash into the shuffle's buckets, so at 1 part/core collisions
-        # leave ~1/e of the cores idle while others encode 3-4 parts
-        # (guide §2.5, synthetic-key skew) — finer parts smooth the
-        # assignment and only ever lower per-task memory. Explicit
-        # num_partitions keeps the exact requested geometry (tests pin
-        # checksums/part counts on it).
+        # _parts_per_core() parts per core (default 1: the salted
+        # placement below already gives every part its own task, so
+        # finer parts no longer buy balance — the knob remains for
+        # per-task memory experiments; >1 measurably slows the query
+        # kernels via per-part setup). Explicit num_partitions keeps
+        # the exact requested geometry (tests pin checksums/part
+        # counts on it).
         mult = _parts_per_core() if auto_parts else 1
         docs_per_part = max(1, math.ceil(n_docs / (num_partitions * mult)))
         cap = _max_docs_per_part()
@@ -573,25 +594,40 @@ def build_segments(
     if not todo:
         return {"n_parts": n_parts, "built": 0, "skipped": len(done)}
 
-    # ---- the ONE payload exchange: raw (doc_id, text) rows hashed by
-    # part_id. Bucket count ≈ 3× the live part count so the hash
-    # assignment stays near-collision-free (empty buckets cost a no-op
-    # task; a collided bucket costs a whole extra part's tokenize+
-    # encode on one core — guide §2.5).
-    n_buckets = int(
-        min(max(3 * len(todo), num_partitions), _max_encode_buckets())
+    # ---- the ONE payload exchange: raw (doc_id, text) rows placed by
+    # part. The live part ids are known, so the part→task assignment is
+    # solved EXACTLY (placement.perfect_salts): repartitioning on the
+    # salted _kb column gives len(todo) tasks, one part each, no empty
+    # buckets and no collision stragglers (guide §2.5 — hashing P parts
+    # into even 3x buckets left ~P/6 double buckets whose tasks ran the
+    # whole encode twice). Very large part counts fall back to plain
+    # hash over-provisioning (literal salt map capped).
+    from pyf_aggregator_spark.index.placement import (
+        SALT_MAP_MAX_GROUPS,
+        perfect_salts,
+        salt_col,
     )
-    parted = (
-        base.withColumn(
-            "part_id",
-            (F.lit(part_base) + (F.col("doc_id") - doc_base) / docs_per_part).cast(
-                "int"
-            ),
+
+    keyed = base.withColumn(
+        "part_id",
+        (F.lit(part_base) + (F.col("doc_id") - doc_base) / docs_per_part).cast(
+            "int"
+        ),
+    ).filter(F.col("part_id").isin(todo))
+    if len(todo) <= SALT_MAP_MAX_GROUPS:
+        salts = perfect_salts(todo)
+        parted = keyed.withColumn(
+            "_kb", salt_col(salts, F.col("part_id")).cast("int")
+        ).repartition(len(salts), "_kb")
+    else:
+        n_buckets = int(
+            min(max(3 * len(todo), num_partitions), _max_encode_buckets())
         )
-        .filter(F.col("part_id").isin(todo))
-        .repartition(n_buckets, "part_id")
-    )
+        parted = keyed.withColumn(
+            "_kb", F.col("part_id").cast("int")
+        ).repartition(n_buckets, "_kb")
     tokens = parted.select(
+        "_kb",
         "part_id",
         "doc_id",
         F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
@@ -599,10 +635,10 @@ def build_segments(
     # no doc_len column here: the encode kernel derives it as Σ tf per
     # doc (every posting of a doc lives in its doc-range partition), so
     # the pipeline neither re-tokenizes per token row nor joins doc_stats
-    tf = tokens.groupBy("part_id", "term", "doc_id").agg(
+    tf = tokens.groupBy("_kb", "part_id", "term", "doc_id").agg(
         F.count("*").cast("long").alias("tf"),
     )
-    encoded = tf.groupBy("part_id").applyInPandas(
+    encoded = tf.groupBy("_kb", "part_id").applyInPandas(
         _encode_partition(
             avgdl, block_size, lineage, emit_term_stats=full_build
         ),

@@ -691,7 +691,9 @@ _SEG_COLS = [
 ]
 
 
-def _sentinel_rows(ranges: DataFrame, ids: DataFrame, block_id: int) -> DataFrame:
+def _sentinel_rows(
+    ranges: DataFrame, ids: DataFrame, block_id: int, kb_expr=None
+) -> DataFrame:
     """doc_id rows → kernel sentinel rows keyed to their owning part(s).
 
     Each doc_id maps to its part via the meta (doc_lo, doc_hi) ranges
@@ -712,7 +714,12 @@ def _sentinel_rows(ranges: DataFrame, ids: DataFrame, block_id: int) -> DataFram
         if "owner" in ids.columns
         else F.lit("")
     )
+    # _kb MUST agree with the segment rows' placement key for the same
+    # part — a mismatch would split a part's sentinels and blocks into
+    # different kernel groups and silently skip the delete/allow filter
+    kb_col = (kb_expr if kb_expr is not None else F.col("part_id")).cast("int")
     return ids.join(F.broadcast(ranges), cond).select(
+        kb_col.alias("_kb"),
         F.col("part_id").cast("int").alias("part_id"),
         term_col.alias("term"),
         F.lit(block_id).alias("block_id"),
@@ -735,17 +742,86 @@ def _seg_with_tombstones(
     be a precomputed attribute-aligned bitmap file per partition; the
     dataflow shape (partition-local membership, no driver set) is the
     same."""
-    out = seg.select(*_SEG_COLS)
+    if "_kb" not in seg.columns:  # hand-built frames: identity placement
+        seg = seg.withColumn("_kb", F.col("part_id").cast("int"))
+        kb_expr = None
+    else:
+        salts = idx.get("kb_salts")
+        kb_expr = _kb_col(salts) if salts else None
+    out = seg.select("_kb", *_SEG_COLS)
     ranges = idx["meta_ranges"].select("part_id", "doc_lo", "doc_hi")
     tomb = idx.get("tombstones")
     if tomb is not None:
-        out = out.unionByName(_sentinel_rows(ranges, tomb, TOMBSTONE_BLOCK_ID))
+        out = out.unionByName(
+            _sentinel_rows(ranges, tomb, TOMBSTONE_BLOCK_ID, kb_expr)
+        )
     if allowed is not None:
         cols = ["doc_id"] + (["owner"] if "owner" in allowed.columns else [])
         out = out.unionByName(
-            _sentinel_rows(ranges, allowed.select(*cols), ALLOWED_BLOCK_ID)
+            _sentinel_rows(
+                ranges, allowed.select(*cols), ALLOWED_BLOCK_ID, kb_expr
+            )
         )
     return out
+
+
+from pyf_aggregator_spark.index.placement import (  # noqa: E402
+    SALT_MAP_MAX_GROUPS as _SALT_MAP_MAX_PARTS,
+    mm3_int as _mm3_int,
+    perfect_salts as _perfect_salts,
+    salt_col as _salt_col,
+)
+
+
+def _kb_col(salts: dict[int, int]):
+    """The _kb placement column as a literal-map EXPRESSION of part_id
+    (no join, no broadcast): parts outside the map (none by
+    construction) get NULL and still group correctly."""
+    return _salt_col(salts, F.col("part_id"))
+
+
+def _kernel_salts(part_ids: list[int]) -> dict[int, int] | None:
+    """The placement salts for an index's live parts, or None when the
+    literal-map expression would be unreasonable (no parts, or more
+    than _SALT_MAP_MAX_PARTS)."""
+    if not part_ids or len(part_ids) > _SALT_MAP_MAX_PARTS:
+        return None
+    return _perfect_salts(part_ids)
+
+
+def _partition_for_kernel(seg: DataFrame, part_ids: list[int]) -> DataFrame:
+    """Lay the segment table out pre-clustered for the WAND kernels —
+    every kernel is ``groupBy("_kb", "part_id").applyInPandas`` — so a
+    caller that caches the handle (bench, the facade index caches,
+    serving processes) materializes the layout ONCE and every subsequent
+    kernel job runs WITHOUT its input Exchange (guide §2.4: establish
+    the partitioning once; the kernel shuffle ships varbyte posting
+    blocks, the priciest bytes this engine moves).
+
+    ``_kb`` is a salted placement key (guide §2.5 synthetic-key skew,
+    solved exactly): hashing P part_ids into P buckets strands ~1/e of
+    cores idle behind collision buckets, and 3x over-provisioning still
+    leaves ~P/6 double buckets whose tasks run 2x the mean — measured
+    1.7 s of tail on a 4.6 s batch. The driver instead searches, with
+    the exact Murmur3 Spark applies, one salt per part so pmod(
+    hash(salt), P) is a bijection: P tasks, one part each, no empties
+    (batch −47%, sequential latency no worse, same-session interleaved
+    A/B). Mutated indexes (tombstones/allow-sets) union sentinel rows,
+    which drops the derived partitioning and correctly restores the
+    per-query exchange."""
+    salts = _kernel_salts(part_ids)
+    if salts is None:
+        if not part_ids:
+            return seg.withColumn("_kb", F.col("part_id").cast("int"))
+        from pyf_aggregator_spark.index.segments import _max_encode_buckets
+
+        n_buckets = int(min(3 * len(part_ids), _max_encode_buckets()))
+        return seg.withColumn(
+            "_kb", F.col("part_id").cast("int")
+        ).repartition(n_buckets, "_kb")
+    return seg.withColumn("_kb", _kb_col(salts).cast("int")).repartition(
+        len(salts), "_kb"
+    )
 
 
 def load_index(spark: SparkSession, index_dir: str) -> dict:
@@ -775,7 +851,10 @@ def load_index(spark: SparkSession, index_dir: str) -> dict:
     from pyf_aggregator_spark.index.incremental import load_tombstones
 
     return {
-        "segments": spark.read.parquet(f"{index_dir}/segments"),
+        "segments": _partition_for_kernel(
+            spark.read.parquet(f"{index_dir}/segments"),
+            sorted(bound_factor),
+        ),
         "term_stats": spark.read.parquet(f"{index_dir}/term_stats"),
         "meta_ranges": spark.read.parquet(f"{index_dir}/meta").select(
             "part_id", "doc_lo", "doc_hi"
@@ -783,6 +862,7 @@ def load_index(spark: SparkSession, index_dir: str) -> dict:
         "n_docs": corpus["n_docs"],
         "avgdl": avgdl,
         "bound_factor": bound_factor,
+        "kb_salts": _kernel_salts(sorted(bound_factor)),
         "tombstones": load_tombstones(spark, index_dir),
         "dir": index_dir,
     }
@@ -810,7 +890,7 @@ def _wand_local(
     # shipped as sentinel rows through the partition shuffle — never
     # collected to the driver, so heavy churn can't bloat task closures.
     seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
-    return _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
+    return _seg_with_tombstones(idx, seg, allowed).groupBy("_kb", "part_id").applyInPandas(
         _wand_partition(
             idf_map, idx["avgdl"], k, mode, len(terms),
             idx.get("bound_factor", {}), filtered=allowed is not None,
@@ -922,7 +1002,7 @@ def wand_topk_slots(
         return spark.createDataFrame([], "doc_id long, score double")
     idf_map, slots = spec
     seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
-    local = _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
+    local = _seg_with_tombstones(idx, seg, allowed).groupBy("_kb", "part_id").applyInPandas(
         _wand_partition(
             idf_map, idx["avgdl"], k, mode, len(slot_terms),
             idx.get("bound_factor", {}), filtered=allowed is not None,
@@ -957,7 +1037,7 @@ def wand_topk_slots_with_found(
         return [], 0
     idf_map, slots = spec
     seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
-    local = _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
+    local = _seg_with_tombstones(idx, seg, allowed).groupBy("_kb", "part_id").applyInPandas(
         _wand_partition(
             idf_map, idx["avgdl"], k, mode, len(slot_terms),
             idx.get("bound_factor", {}), filtered=allowed is not None,
@@ -1030,7 +1110,7 @@ def wand_match_ids(
     seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
     return (
         _seg_with_tombstones(idx, seg, allowed)
-        .groupBy("part_id")
+        .groupBy("_kb", "part_id")
         .applyInPandas(fn, "doc_id long")
     )
 
@@ -1071,7 +1151,7 @@ def wand_score_matches(
         slots = None
         n_query_terms = len(terms)
     seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
-    local = _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
+    local = _seg_with_tombstones(idx, seg, allowed).groupBy("_kb", "part_id").applyInPandas(
         _score_matches_partition(
             idf_map, idx["avgdl"], mode, n_query_terms,
             filtered=allowed is not None, slots=slots,
@@ -1117,11 +1197,15 @@ def load_multifield_index(spark: SparkSession, index_dir: str) -> dict:
         F.min("doc_lo").alias("doc_lo"), F.max("doc_hi").alias("doc_hi")
     )
     return {
-        "segments": spark.read.parquet(f"{index_dir}/segments"),
+        "segments": _partition_for_kernel(
+            spark.read.parquet(f"{index_dir}/segments"),
+            sorted(bound_factor),
+        ),
         "term_stats": spark.read.parquet(f"{index_dir}/term_stats"),
         "avgdl_by_field": avgdl_by_field,
         "meta_ranges": meta_ranges,
         "bound_factor": bound_factor,
+        "kb_salts": _kernel_salts(sorted(bound_factor)),
         "tombstones": load_tombstones(spark, index_dir),
         "dir": index_dir,
     }
@@ -1201,12 +1285,11 @@ def _mf_seg_scan(idx: dict, raw_terms: list[str], fields: list[str]):
     doc-range partition answers the query in one kernel pass. Every
     multifield kernel path (top-k, match-ids, score-matches) reads
     through here — one place to keep the namespacing/_SEG_COLS contract."""
-    return (
-        idx["segments"]
-        .filter(F.col("term").isin(raw_terms) & F.col("field").isin(fields))
-        .withColumn("term", F.concat("field", F.lit(FIELD_SEP), "term"))
-        .select(*_SEG_COLS)
-    )
+    seg = idx["segments"].filter(
+        F.col("term").isin(raw_terms) & F.col("field").isin(fields)
+    ).withColumn("term", F.concat("field", F.lit(FIELD_SEP), "term"))
+    kb = ["_kb"] if "_kb" in seg.columns else []
+    return seg.select(*kb, *_SEG_COLS)
 
 
 def _wand_mf_local(
@@ -1240,7 +1323,7 @@ def _wand_mf_local(
     # of pre-upsert parts under the old per-field avgdl) ride the same
     # mechanisms as the single-field path; a fresh build has neither.
     seg = _mf_seg_scan(idx, raw_terms, sorted(weights))
-    return _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
+    return _seg_with_tombstones(idx, seg, allowed).groupBy("_kb", "part_id").applyInPandas(
         _wand_partition(
             idf_map, avgdl_map, k, mode, n_groups,
             idx.get("bound_factor", {}),
@@ -1366,7 +1449,7 @@ def wand_match_ids_multifield(
     seg = _mf_seg_scan(idx, raw_terms, sorted(fields))
     return (
         _seg_with_tombstones(idx, seg, allowed)
-        .groupBy("part_id")
+        .groupBy("_kb", "part_id")
         .applyInPandas(fn, "doc_id long")
     )
 
@@ -1393,7 +1476,7 @@ def wand_score_matches_multifield(
         return spark.createDataFrame([], "doc_id long, score double")
     raw_terms, idf_map, avgdl_map, slots, groups, n_groups = spec
     seg = _mf_seg_scan(idx, raw_terms, sorted(weights))
-    local = _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
+    local = _seg_with_tombstones(idx, seg, allowed).groupBy("_kb", "part_id").applyInPandas(
         _score_matches_partition(
             idf_map, avgdl_map, mode, n_groups,
             filtered=allowed is not None, slots=slots, groups=groups,
@@ -1492,7 +1575,7 @@ def wand_topk_batch(
         for a in allow_parts[1:]:
             allowed = allowed.unionByName(a)
     seg = idx["segments"].filter(F.col("term").isin(list(idf_map)))
-    local = _seg_with_tombstones(idx, seg, allowed).groupBy("part_id").applyInPandas(
+    local = _seg_with_tombstones(idx, seg, allowed).groupBy("_kb", "part_id").applyInPandas(
         _wand_partition_batch(
             qspec, idf_map, idx["avgdl"], idx.get("bound_factor", {})
         ),

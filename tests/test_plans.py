@@ -258,3 +258,66 @@ def test_phrase_verify_regex_rides_the_docs_scan(spark, sf):
     )
     # the docs scan reads exactly the two verify columns
     assert "struct<doc_id:bigint,text:string>" in plan.replace(" ", "")
+
+
+def test_kernel_placement_salts_match_spark_hash(spark):
+    """The driver plans the kernel cache layout with a Python
+    reimplementation of Spark's Murmur3 int hash (wand._mm3_int); the
+    whole perfect-placement scheme rests on it matching F.hash
+    bit-for-bit, so pin it — including negatives and the int32 edges."""
+    from pyf_aggregator_spark.search.wand import _mm3_int, _perfect_salts
+
+    vals = list(range(-5, 200)) + [2**31 - 1, -(2**31), 123456789, -987654]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "i int")
+        .select("i", F.hash("i").alias("h"))
+        .collect()
+    )
+    assert all(_mm3_int(r["i"]) == r["h"] for r in rows)
+    # the greedy salt search yields a bijection onto 0..P-1 slots
+    for pids in ([0], list(range(7)), list(range(32)), [3, 17, 90, 91]):
+        salts = _perfect_salts(pids)
+        P = len(pids)
+        assert len({_mm3_int(s) % P for s in salts.values()}) == P
+
+
+def test_cached_kernel_layout_one_part_per_task_no_exchange(spark, tmp_path):
+    """load_index's salted layout must (a) place exactly one part per
+    cache partition with zero empty partitions, and (b) let the WAND
+    kernel consume the cache WITHOUT an input Exchange (the groupBy
+    clustering is satisfied by the cached partitioning)."""
+    from pyf_aggregator_spark.fixtures.transcripts import transcripts_df
+    from pyf_aggregator_spark.index.builder import assign_doc_ids
+    from pyf_aggregator_spark.index.segments import build_segments
+    from pyf_aggregator_spark.search.wand import load_index, wand_topk_batch
+
+    d = str(tmp_path / "saltedlayout")
+    docs = assign_doc_ids(transcripts_df(spark, 2_000), num_partitions=4)
+    build_segments(docs, d, num_partitions=4)
+    idx = load_index(spark, d)
+    idx["segments"] = idx["segments"].cache()
+    idx["segments"].count()
+    occupancy = (
+        idx["segments"]
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(F.countDistinct("part_id").alias("nparts"))
+        .collect()
+    )
+    n_parts = len(idx["bound_factor"])
+    assert len(occupancy) == n_parts, "empty or missing cache partitions"
+    assert all(r["nparts"] == 1 for r in occupancy), "part collision"
+    df = wand_topk_batch(
+        idx, [{"query_id": "q", "query": "w00000 w00001", "mode": "or", "k": 5}]
+    )
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    fmap = [i for i, ln in enumerate(lines) if "FlatMapGroupsInPandas" in ln]
+    scan = [i for i, ln in enumerate(lines) if "InMemoryTableScan" in ln]
+    assert fmap and scan and scan[0] > fmap[0]
+    between = lines[fmap[0] + 1 : scan[0]]
+    assert not any("Exchange" in ln for ln in between), (
+        "kernel input Exchange reappeared above the cached layout:\n" + tree
+    )
+    idx["segments"].unpersist()
