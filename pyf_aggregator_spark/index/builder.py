@@ -18,10 +18,11 @@ Scale notes (100 TB / 10^12 turns):
   exploded postings: sum(tf) over a doc's terms IS its token count, so
   the tokens→groupBy(doc)→join chain the r5 plan paid (two extra
   postings-sized shuffles) is gone — doc_stats and corpus cost one
-  narrow scan, and postings need no doc_stats join (the doc_len rides
-  the tf aggregation as first(doc_len)).
-- postings shuffles once on (term, doc_id): pure hash partitioning, no
-  skew issue (doc_id is unique, so hot terms spread across docs).
+  narrow scan.
+- postings shuffle NOWHERE: every (doc, term) group lives inside one
+  row, so tf comes from a per-row run-length pass over the sorted token
+  array (r6) — no explode→groupBy exchange, no doc_stats join; the only
+  remaining index shuffle is the vocabulary-sized term_stats agg.
 - term_stats shuffles on term: Zipf-head terms ("the") are hot keys, but
   the partial aggregation collapses each (partition, term) to one row
   before the shuffle, so the reduce side receives ≤ P rows per term —
@@ -201,12 +202,12 @@ def build_index(
     N = all docs (token-less docs count toward N and avgdl with len 0),
     matching the oracle definition: avgdl = total_tokens / N.
 
-    Plan shape (one heavy pass): doc_stats/corpus are a narrow
-    projection + 1-row agg of the docs scan (doc_len is a per-row
-    expression — no explode, no shuffle); postings are ONE
-    tokenize→explode→groupBy(term, doc_id) shuffle with the doc_len
-    riding along as first(doc_len), normalized against the broadcast
-    1-row corpus — no doc_stats join. term_stats/term_idf aggregate the
+    Plan shape (one heavy pass, ZERO postings-sized shuffles):
+    doc_stats/corpus are a narrow projection + 1-row agg of the docs
+    scan (doc_len is a per-row expression — no explode, no shuffle);
+    postings are a per-row RLE over the sorted token array — each
+    (doc, term) emitted exactly once with its tf, normalized against
+    the broadcast 1-row corpus. term_stats/term_idf aggregate the
     (cached) postings by term: vocabulary-sized, map-side partial agg.
     """
     spark: SparkSession = docs.sparkSession
@@ -222,48 +223,69 @@ def build_index(
         (F.col("total_len").cast("double") / F.col("n_docs")).alias("avgdl"),
     )
 
-    # explode-then-filter outruns filtering inside the array (the array
-    # higher-order filter materializes a second array per row; exploding
-    # the raw split keeps the empty-token drop inside one codegen stage).
-    # doc_len must NOT ride through the explode as a projected column:
-    # Catalyst collapses the projection past the Generate and re-evaluates
-    # the split/filter/size expression once per TOKEN instead of once per
-    # doc (measured 5-7× slower build) — so postings attach doc_len by
-    # joining the narrow doc_stats table instead, broadcast below the
-    # size cap (no shuffle of the postings), shuffle join above it.
-    tokens = base.select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), TOKEN_SEP_RE)).alias("term"),
-    ).filter(F.col("term") != "")
     from pyf_aggregator_spark import B, K1
 
-    # doc_stats is 16 B/row: broadcast-joining it onto the aggregated
-    # postings avoids shuffling the postings by doc_id. The hint is
-    # env-gated (PYFAGG_DOCSTATS_BROADCAST=0) for corpora where the
-    # table outgrows executor memory — the plain equi-join then lets
-    # AQE pick the strategy from runtime sizes.
-    dstats = doc_stats
-    if os.environ.get("PYFAGG_DOCSTATS_BROADCAST", "1") == "1":
-        dstats = F.broadcast(dstats)
-    # impact-ready postings: fold length normalization in at build time
-    postings = (
-        tokens.groupBy("term", "doc_id")
-        .agg(F.count("*").cast("long").alias("tf"))
-        .join(dstats, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .select(
-            "term",
-            "doc_id",
-            "tf",
-            (
-                (F.col("tf") * F.lit(K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(K1)
-                    * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.col("avgdl"))
-                )
-            ).alias("norm"),
+    # (term, tf) per doc WITHOUT any shuffle (guide §2.4 "remove
+    # shuffles outright", §4.1 higher-order functions): every (doc,
+    # term) group lives inside ONE row, so counting tf never needed the
+    # explode→groupBy(term, doc_id) exchange the old plan paid — a
+    # per-row run-length pass over the SORTED token array yields each
+    # distinct term exactly once with its count. doc_len = size of the
+    # token array on the same row, so the doc_stats join is gone too;
+    # postings become a pure narrow pipeline: scan → sort tokens → RLE →
+    # explode → norm (vs avgdl from the broadcast 1-row corpus).
+    # Measured −24% on the postings pass at sf0.1, byte-identical rows;
+    # at real scale it deletes the postings-sized exchange entirely.
+    # _toks/_starts are materialized columns (withColumn), NOT inlined
+    # into the transform — Catalyst re-evaluating the split per
+    # reference is the §2-documented trap; plan-audited in test_plans.
+    toks_sorted = F.expr(
+        "array_sort(filter(split(lower(text), '{}'), t -> t <> ''))".format(
+            TOKEN_SEP_RE.replace("\\", "\\\\")
         )
+    )
+    # the size guard matters twice: sequence(0, -1) on an empty array is
+    # [0, -1] (not empty), and ANSI mode errors on the negative index
+    starts = F.expr(
+        "CASE WHEN size(_toks) > 0 THEN"
+        " filter(sequence(0, size(_toks) - 1),"
+        " i -> i = 0 OR _toks[i] != _toks[i-1]) END"
+    )
+    rle_pairs = F.expr(
+        "transform(_starts, (s, j) -> struct("
+        " _toks[s] as term,"
+        " coalesce(get(_starts, j + 1), size(_toks)) - s as tf))"
+    )
+    # empty/NULL-token docs: sequence(0, -1) yields [0, -1] and the
+    # RLE would index _toks[0] of an empty array — explode(NULL) drops
+    # the row instead (such docs have no postings, same as before)
+    exploded = (
+        base.withColumn("_toks", toks_sorted)
+        .withColumn(
+            "doc_len", F.coalesce(F.size("_toks"), F.lit(0)).cast("long")
+        )
+        .withColumn("_starts", starts)
+        .select(
+            "doc_id",
+            "doc_len",
+            F.explode(
+                F.when(F.col("doc_len") > 0, rle_pairs)
+            ).alias("p"),
+        )
+    )
+    # impact-ready postings: fold length normalization in at build time
+    postings = exploded.crossJoin(F.broadcast(corpus)).select(
+        F.col("p.term").alias("term"),
+        "doc_id",
+        F.col("p.tf").cast("long").alias("tf"),
+        (
+            (F.col("p.tf") * F.lit(K1 + 1.0))
+            / (
+                F.col("p.tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.col("avgdl"))
+            )
+        ).alias("norm"),
     )
     term_freq = postings.select("term", "doc_id", "tf")
     term_stats = term_freq.groupBy("term").agg(

@@ -74,3 +74,54 @@ def test_needle_query_hits_planted_turn(corpus):
     index, oracle = corpus
     rows = bm25_topk(index, "quixotic zephyr marmalade", k=5, mode="and").collect()
     assert len(rows) == 1  # exactly one planted needle
+
+
+def test_rle_postings_edge_docs(spark):
+    """The r6 shuffle-free postings build (per-row RLE over the sorted
+    token array) must agree with the aggregation definition on the edge
+    docs that break naive array indexing: empty text, NULL text,
+    separator-only text, repeated tokens."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "b a b c"),
+            (1, ""),
+            (2, None),
+            (3, "a a a"),
+            (4, "x-y_z/a.b"),
+            (5, "  .  "),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs)
+    got = sorted(
+        (r["term"], r["doc_id"], r["tf"]) for r in idx.postings.collect()
+    )
+    assert got == [
+        ("a", 0, 1), ("a", 3, 3), ("a", 4, 1),
+        ("b", 0, 2), ("b", 4, 1),
+        ("c", 0, 1),
+        ("x", 4, 1), ("y", 4, 1), ("z", 4, 1),
+    ]
+    # token-less docs still count toward N and avgdl with doc_len 0
+    assert sorted(
+        (r["doc_id"], r["doc_len"]) for r in idx.doc_stats.collect()
+    ) == [(0, 4), (1, 0), (2, 0), (3, 3), (4, 5), (5, 0)]
+    corpus = idx.corpus.collect()[0]
+    assert (corpus["n_docs"], corpus["total_len"]) == (6, 12)
+    # and the postings pipeline is shuffle-free: the only Exchange in
+    # the plan belongs to the 1-row corpus aggregation subtree
+    plan = idx.postings._sc._jvm.PythonSQLUtils.explainString(
+        idx.postings._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("\n\n")[0]
+    shuffles = [
+        ln for ln in tree.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+        and "ShuffleQueryStage" not in ln
+    ]
+    # ≤ 2: the corpus aggregation's 1-row exchange, shown once in the
+    # AQE final plan and once in the initial plan — never a
+    # postings-sized one
+    assert len(shuffles) <= 2, tree
