@@ -56,6 +56,54 @@ def _doc_len_col(text_col: str = "text"):
     ).cast("long")
 
 
+def explode_token_rle(
+    df: DataFrame, text_col: str = "text", keep: list[str] | None = None
+) -> DataFrame:
+    """df → one row per (doc, term): keep-columns + doc_len + p(term, tf)
+    — WITHOUT any shuffle or per-row Python.
+
+    Every (doc, term) group lives inside one row of ``df``, so term
+    frequencies never need an explode→groupBy exchange: a run-length
+    pass over the per-row SORTED token array (pure higher-order
+    functions) yields each distinct term exactly once with its count,
+    and doc_len (the filtered token count == Σ tf) rides the same row.
+
+    _toks/_starts are materialized columns (withColumn), NOT inlined
+    into the transform — Catalyst re-evaluating the split per reference
+    is the documented collapse-past-Generate trap. The size guard on
+    _starts matters twice: sequence(0, -1) on an empty array is [0, -1]
+    (not empty), and ANSI mode errors on the negative index; token-less
+    docs instead explode a NULL pair array, i.e. produce no rows."""
+    keep = keep or []
+    toks_sorted = F.expr(
+        "array_sort(filter(split(lower({}), '{}'), t -> t <> ''))".format(
+            text_col, TOKEN_SEP_RE.replace("\\", "\\\\")
+        )
+    )
+    starts = F.expr(
+        "CASE WHEN size(_toks) > 0 THEN"
+        " filter(sequence(0, size(_toks) - 1),"
+        " i -> i = 0 OR _toks[i] != _toks[i-1]) END"
+    )
+    rle_pairs = F.expr(
+        "transform(_starts, (s, j) -> struct("
+        " _toks[s] as term,"
+        " coalesce(get(_starts, j + 1), size(_toks)) - s as tf))"
+    )
+    return (
+        df.withColumn("_toks", toks_sorted)
+        .withColumn(
+            "doc_len", F.coalesce(F.size("_toks"), F.lit(0)).cast("long")
+        )
+        .withColumn("_starts", starts)
+        .select(
+            *keep,
+            "doc_len",
+            F.explode(F.when(F.col("doc_len") > 0, rle_pairs)).alias("p"),
+        )
+    )
+
+
 def _idmap_broadcast_max() -> int:
     """Above this corpus size the doc-id map attaches with a shuffle
     join instead of a broadcast (the map is ~30 B/doc; broadcasting it
@@ -228,51 +276,11 @@ def build_index(
     # (term, tf) per doc WITHOUT any shuffle (guide §2.4 "remove
     # shuffles outright", §4.1 higher-order functions): every (doc,
     # term) group lives inside ONE row, so counting tf never needed the
-    # explode→groupBy(term, doc_id) exchange the old plan paid — a
-    # per-row run-length pass over the SORTED token array yields each
-    # distinct term exactly once with its count. doc_len = size of the
-    # token array on the same row, so the doc_stats join is gone too;
-    # postings become a pure narrow pipeline: scan → sort tokens → RLE →
-    # explode → norm (vs avgdl from the broadcast 1-row corpus).
-    # Measured −24% on the postings pass at sf0.1, byte-identical rows;
-    # at real scale it deletes the postings-sized exchange entirely.
-    # _toks/_starts are materialized columns (withColumn), NOT inlined
-    # into the transform — Catalyst re-evaluating the split per
-    # reference is the §2-documented trap; plan-audited in test_plans.
-    toks_sorted = F.expr(
-        "array_sort(filter(split(lower(text), '{}'), t -> t <> ''))".format(
-            TOKEN_SEP_RE.replace("\\", "\\\\")
-        )
-    )
-    # the size guard matters twice: sequence(0, -1) on an empty array is
-    # [0, -1] (not empty), and ANSI mode errors on the negative index
-    starts = F.expr(
-        "CASE WHEN size(_toks) > 0 THEN"
-        " filter(sequence(0, size(_toks) - 1),"
-        " i -> i = 0 OR _toks[i] != _toks[i-1]) END"
-    )
-    rle_pairs = F.expr(
-        "transform(_starts, (s, j) -> struct("
-        " _toks[s] as term,"
-        " coalesce(get(_starts, j + 1), size(_toks)) - s as tf))"
-    )
-    # empty/NULL-token docs: sequence(0, -1) yields [0, -1] and the
-    # RLE would index _toks[0] of an empty array — explode(NULL) drops
-    # the row instead (such docs have no postings, same as before)
-    exploded = (
-        base.withColumn("_toks", toks_sorted)
-        .withColumn(
-            "doc_len", F.coalesce(F.size("_toks"), F.lit(0)).cast("long")
-        )
-        .withColumn("_starts", starts)
-        .select(
-            "doc_id",
-            "doc_len",
-            F.explode(
-                F.when(F.col("doc_len") > 0, rle_pairs)
-            ).alias("p"),
-        )
-    )
+    # explode→groupBy(term, doc_id) exchange the old plan paid — see
+    # explode_token_rle. Measured −24% on the postings pass at sf0.1,
+    # byte-identical rows; at real scale it deletes the postings-sized
+    # exchange entirely.
+    exploded = explode_token_rle(base, keep=["doc_id"])
     # impact-ready postings: fold length normalization in at build time
     postings = exploded.crossJoin(F.broadcast(corpus)).select(
         F.col("p.term").alias("term"),
