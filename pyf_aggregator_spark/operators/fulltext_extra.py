@@ -779,8 +779,11 @@ def ft_mf_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         mf, _5F_WEIGHTS, "", k=_MF_K, mode="or", slot_terms=slot_terms
     ).select(F.lit("prefix").alias("behavior"), "doc_id", "score")
 
+    from pyf_aggregator_spark.search.wand import _known_terms
+
     mapping = correct_terms(
-        spark, mf["dir"], tokenize_py(_MF_TYPO_Q), sum_stats, num_typos=2
+        spark, mf["dir"], tokenize_py(_MF_TYPO_Q), sum_stats, num_typos=2,
+        known_terms=_known_terms(mf, tokenize_py(_MF_TYPO_Q)),
     )
     corrected = sorted({v for v in mapping.values() if v is not None})
     typo_side = wand_topk_multifield(

@@ -703,8 +703,11 @@ def _search_one(spark: SparkSession, sf_dir: str, params: dict) -> dict:
         num_typos = 0
         infix_mode = "off"
     if num_typos > 0:
+        from pyf_aggregator_spark.search.wand import _known_terms
+
         mapping = correct_terms(
-            spark, typo_dir, terms, typo_stats, num_typos=num_typos
+            spark, typo_dir, terms, typo_stats, num_typos=num_typos,
+            known_terms=_known_terms(mf if mf is not None else idx, terms),
         )
         if infix_mode == "off":
             # a failed correction contributes NOTHING (typo.correct_terms

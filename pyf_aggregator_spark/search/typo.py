@@ -123,22 +123,31 @@ def correct_terms(
     terms: list[str],
     term_stats: DataFrame,
     num_typos: int = 2,
+    known_terms: set[str] | None = None,
 ) -> dict[str, str | None]:
     """query terms → {term: corrected_term | None}. Known terms map to
     themselves; unknown terms map to their best vocabulary neighbor
     within min(num_typos, length budget) edits (lowest distance, then
     max df, tie → lexicographically smallest), or None when no neighbor
     exists (the token contributes nothing, like Typesense after typo
-    expansion fails)."""
+    expansion fails).
+
+    ``known_terms``: vocabulary membership already resolved by the
+    caller (the in-RAM term dictionary, wand._known_terms) — skips this
+    function's membership scan, so an all-known query costs ZERO Spark
+    jobs and a typo'd one costs only the deletion-neighborhood join."""
     terms = sorted(set(terms))
     if not terms:
         return {}
-    known = {
-        r["term"]
-        for r in term_stats.filter(F.col("term").isin(terms))
-        .select("term")
-        .collect()
-    }
+    if known_terms is not None:
+        known = {t for t in terms if t in known_terms}
+    else:
+        known = {
+            r["term"]
+            for r in term_stats.filter(F.col("term").isin(terms))
+            .select("term")
+            .collect()
+        }
     out: dict[str, str | None] = {t: t for t in known}
     unknown = [t for t in terms if t not in known]
     if not unknown:
@@ -204,12 +213,13 @@ def wand_topk_typo(
 ) -> DataFrame:
     """Typo-tolerant top-k: unknown query terms are corrected to their
     best ≤num_typos-edit vocabulary neighbor before the WAND pass."""
-    from pyf_aggregator_spark.search.wand import wand_topk
+    from pyf_aggregator_spark.search.wand import _known_terms, wand_topk
 
     spark = idx["segments"].sparkSession
+    toks = tokenize_py(query)
     mapping = correct_terms(
-        spark, idx["dir"], tokenize_py(query), idx["term_stats"],
-        num_typos=num_typos,
+        spark, idx["dir"], toks, idx["term_stats"],
+        num_typos=num_typos, known_terms=_known_terms(idx, toks),
     )
     corrected = [v for v in mapping.values() if v is not None]
     if not corrected:

@@ -173,6 +173,27 @@ def _term_dict(idx: dict):
     return d
 
 
+def _known_terms(idx: dict, terms: list[str]) -> set[str] | None:
+    """Vocabulary membership for ``terms`` from the in-RAM dictionary —
+    None when the dictionary is unavailable (callers then keep their
+    scan). For multifield dictionaries ((field, term) keys) membership
+    means ANY field has the term, matching the summed-vocabulary
+    term_stats the typo layer queries; the flattened term set is cached
+    per term_stats version alongside the dictionary."""
+    d = _term_dict(idx)
+    if d is None:
+        return None
+    if d and isinstance(next(iter(d)), tuple):
+        ver = _term_stats_version(idx)
+        cached = idx.get("_vocab_set")
+        if cached is None or cached[0] != ver:
+            idx["_vocab_set"] = (ver, {t for (_f, t) in d})
+        vocab = idx["_vocab_set"][1]
+    else:
+        vocab = d
+    return {t for t in terms if t in vocab}
+
+
 def _idf_rows(idx: dict, terms: list[str]) -> list[tuple[str, float]]:
     """(term, idf) for the terms present in the index — dictionary hit
     when loaded, pushed-down term_stats scan otherwise."""
@@ -1529,6 +1550,7 @@ def wand_topk_batch(
         mapping = correct_terms(
             spark, idx["dir"], union_terms, idx["term_stats"],
             num_typos=num_typos,
+            known_terms=_known_terms(idx, union_terms),
         )
         for q in queries:
             toks = tokenize_py(q["query"])
