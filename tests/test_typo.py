@@ -161,3 +161,29 @@ def test_typo_artifact_invalidated_on_upsert(spark, tmp_path):
     idx2 = load_index(spark, d)
     got2 = correct_terms(spark, d, ["zephyrx"], idx2["term_stats"])
     assert got2["zephyrx"] == "zephyr"
+
+
+def test_correct_terms_dictionary_membership_matches_scan(spark, tmp_path):
+    """The r6 dictionary-served known/unknown split (known_terms kwarg
+    via wand._known_terms) must produce the exact mapping the
+    term_stats scan path produces — including known tokens, correctable
+    typos, and hopeless tokens."""
+    from pyf_aggregator_spark.search.wand import _known_terms, load_index
+
+    d = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha delta")],
+        "doc_id long, text string",
+    )
+    build_segments(docs, d, num_partitions=1, lineage="t")
+    idx = load_index(spark, d)
+    terms = ["alpha", "alphax", "beta", "qqqqzzzz"]
+    via_scan = correct_terms(spark, d, terms, idx["term_stats"])
+    known = _known_terms(idx, terms)
+    assert known == {"alpha", "beta"}  # dictionary resolved membership
+    via_dict = correct_terms(
+        spark, d, terms, idx["term_stats"], known_terms=known
+    )
+    assert via_dict == via_scan
+    assert via_dict["alpha"] == "alpha" and via_dict["alphax"] == "alpha"
+    assert via_dict["qqqqzzzz"] is None
